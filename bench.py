@@ -1,0 +1,116 @@
+"""Benchmark: full-test beam-decode throughput (the BASELINE.json metric).
+
+Headline: beam-5 responses/sec on the flagship MTN config at DSTC7-scale
+shapes on one TPU chip, via the jit-compiled batched cached beam decoder.
+
+Baseline: the reference publishes no speed numbers (BASELINE.md), so the
+baseline is self-measured on the SAME chip: a faithful proxy of the
+reference decode strategy (generate.py:146 + data_utils.py:188-242) —
+batch size 1, one full decoder forward over the whole padded prefix per
+hypothesis per step, no KV cache, host top-k between steps. This is
+generous to the reference (same hardware, jitted forward).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# DSTC7-scale decode shapes (test split: 1,710 turns; maxlen 30, beam 5 —
+# run.sh:48-50, generate.py:101)
+TURN_BATCH = 16
+BEAM = 5
+MAXLEN = 30
+NBEST = 5
+SHAPES = dict(Lq=32, Lh=128, Lc=64, La=24, T=(64, 32))
+N_BATCHES = 8          # timed batches for our decoder
+PROXY_TURNS = 2        # timed turns for the reference-style proxy
+PROXY_STEPS = 6        # proxy steps actually timed (extrapolated to MAXLEN)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship_cfg, _synthetic_batch
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.decode.beam import BeamDecoder
+    from mtn_tpu.models.mtn import MTN
+    from mtn_tpu.ops.masks import causal_mask
+    from mtn_tpu.train.batch import batch_masks
+
+    cfg = _flagship_cfg()
+    model = MTN(cfg)
+    rng = np.random.default_rng(0)
+    db = _synthetic_batch(rng, B=TURN_BATCH, Lq=SHAPES["Lq"],
+                          Lh=SHAPES["Lh"], Lc=SHAPES["Lc"], La=SHAPES["La"],
+                          ft_sizes=cfg.ft_sizes, T=SHAPES["T"])
+    masks, tgt_mask = batch_masks(db, 1)
+    params = jax.jit(lambda r: model.init(
+        {"params": r}, db.query, db.his, db.cap, db.fts, masks,
+        db.answer_in, tgt_mask, method=MTN.init_all)["params"])(
+            jax.random.PRNGKey(0))
+
+    # ---- ours: batched cached beam --------------------------------------
+    dec = BeamDecoder(cfg, DecodeConfig(maxlen=MAXLEN, beam=BEAM,
+                                        nbest=NBEST))
+    fn = dec._build_beam()
+    out = fn(params, db)
+    jax.block_until_ready(out)          # compile + warmup
+    t0 = time.time()
+    for _ in range(N_BATCHES):
+        out = fn(params, db)
+    jax.block_until_ready(out)
+    ours_sec = time.time() - t0
+    ours_rps = TURN_BATCH * N_BATCHES / ours_sec
+
+    # ---- baseline proxy: reference-style batch-1 no-cache beam ----------
+    row = jax.tree.map(
+        lambda x: x[:1] if hasattr(x, "ndim") and x.ndim > 0 else x, db)
+    row_masks, _ = batch_masks(row, 1)
+    Lpad = MAXLEN + 1
+    cm = causal_mask(Lpad)
+
+    @jax.jit
+    def full_forward(params, tgt, pos):
+        # full decoder forward over the padded prefix; logp at `pos`
+        x, _ = model.apply({"params": params}, row.query, row.his, row.cap,
+                           row.fts, row_masks, tgt,
+                           jnp.broadcast_to(cm, (1, Lpad, Lpad)),
+                           deterministic=True)
+        xs = jax.lax.dynamic_slice_in_dim(x, pos, 1, axis=1)
+        return model.apply({"params": params}, xs[:, 0],
+                           method=MTN.generate_logprobs)
+
+    tgt = jnp.full((1, Lpad), 1, jnp.int32).at[0, 0].set(2)
+    jax.block_until_ready(full_forward(params, tgt, 0))  # compile
+    t0 = time.time()
+    hyps = [list() for _ in range(BEAM)]
+    for turn in range(PROXY_TURNS):
+        n_hyp = 1
+        for step in range(PROXY_STEPS):
+            for h in range(n_hyp):
+                logp = np.asarray(full_forward(params, tgt, step))
+                order = np.argsort(logp[0])[::-1][:BEAM]  # host-side top-k
+            n_hyp = BEAM
+    proxy_sec = time.time() - t0
+    # forwards actually executed per turn vs a full reference turn
+    done = 1 + (PROXY_STEPS - 1) * BEAM
+    full = 1 + (MAXLEN - 1) * BEAM
+    proxy_per_turn = (proxy_sec / PROXY_TURNS) * (full / done)
+    proxy_rps = 1.0 / proxy_per_turn
+
+    print(json.dumps({
+        "metric": "beam_decode_responses_per_sec",
+        "value": round(ours_rps, 3),
+        "unit": "responses/sec",
+        "vs_baseline": round(ours_rps / proxy_rps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,26 @@
+"""mtn_tpu — a TPU-native framework for video-grounded dialogue transformers.
+
+Re-designed from scratch for TPU (JAX / XLA / Pallas / pjit) with the full
+capability surface of the MTN reference (henryhungle/MTN, ACL'19):
+
+- ``mtn_tpu.data``        — DSTC7-AVSD dialogue + video-feature input pipeline
+                            (vocab, per-turn flattening, length-bucketed batch
+                            planner, host prefetch, static-shape padding).
+- ``mtn_tpu.models``      — the MTN encoder-decoder with the Query-Aware
+                            Auto-Encoder, written in flax.linen with explicit
+                            decode-time caches.
+- ``mtn_tpu.ops``         — masks, positional encodings, attention (XLA path
+                            and fused Pallas TPU kernels).
+- ``mtn_tpu.train``       — label-smoothed KL loss, Noam schedule (optax),
+                            jitted mesh-aware train step.
+- ``mtn_tpu.decode``      — jit-compiled batched beam search (lax.while_loop,
+                            KV + auto-encoder caches).
+- ``mtn_tpu.parallel``    — device mesh + sharding rules (dp/tp) over ICI.
+- ``mtn_tpu.evalmetrics`` — COCO-caption metrics (BLEU/METEOR/ROUGE-L/CIDEr)
+                            in pure Python 3 plus DSTC7 format converters.
+- ``mtn_tpu.utils``       — Orbax checkpointing, CSV/metric logging, profiling.
+- ``mtn_tpu.cli``         — `train` / `generate` entry points with the
+                            reference's flag surface (run.sh stage CLI parity).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,69 @@
+"""Shared CLI plumbing (flag surface parity with the reference CLIs)."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def add_logging_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--verbose", "-v", default=0, type=int,
+                        help="verbose level")
+
+
+def setup_logging(verbose: int):
+    if verbose >= 1:
+        logging.basicConfig(
+            level=logging.DEBUG,
+            format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: "
+                   "%(message)s")
+    else:
+        logging.basicConfig(level=logging.INFO,
+                            format="%(asctime)s %(levelname)s: %(message)s")
+
+
+def print_args(args: argparse.Namespace):
+    for arg in vars(args):
+        print(f"{arg}={getattr(args, arg)}")
+
+
+def add_tpu_args(parser: argparse.ArgumentParser):
+    """TPU-native knobs with no reference equivalent."""
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"],
+                        help="compute dtype (params stay float32)")
+    parser.add_argument("--mesh-data", default=-1, type=int,
+                        help="data-parallel mesh axis size (-1: all devices)")
+    parser.add_argument("--mesh-model", default=1, type=int,
+                        help="tensor-parallel mesh axis size")
+    parser.add_argument("--length-bucket", default=32, type=int,
+                        help="round text lengths up to this multiple")
+    parser.add_argument("--feature-bucket", default=32, type=int,
+                        help="round video frame counts up to this multiple")
+    parser.add_argument("--prefetch", default=2, type=int,
+                        help="host-side batch prefetch depth")
+    parser.add_argument("--use-pallas-attention", default=0, type=int,
+                        help="use the fused Pallas attention kernel on TPU")
+    parser.add_argument("--profile-dir", default=None, type=str,
+                        help="jax.profiler trace output directory")
+    parser.add_argument("--nan-checks", default=0, type=int,
+                        help="enable NaN debugging (slow)")
+
+
+def make_mesh_from_args(args, batch_size: int = 0):
+    import math
+
+    import jax
+    from mtn_tpu.parallel import Shardings, make_mesh
+    n = len(jax.devices())
+    if args.mesh_model <= 1 and (args.mesh_data in (-1, 1) or n == 1):
+        if n == 1 or args.mesh_data == 1:
+            return None, None  # single device: skip mesh machinery
+    data = args.mesh_data
+    if data == -1:
+        data = n // max(args.mesh_model, 1)
+        if batch_size > 0:
+            # the batch axis must divide evenly over the data axis
+            data = math.gcd(batch_size, data)
+    mesh = make_mesh(data=data, model=args.mesh_model)
+    return mesh, Shardings(mesh)

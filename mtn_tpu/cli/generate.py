@@ -1,0 +1,204 @@
+"""Generation entry point (reference generate.py:88-162; run.sh stage 3).
+
+Differences by design: the reference decodes turn-by-turn at batch size 1
+with no KV cache (generate.py:146, SURVEY.md §3.2); here turns are
+grouped into length-sorted device batches and beam-decoded by the
+jit-compiled cached decoder — the output JSON format is identical.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import logging
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from mtn_tpu.cli.common import add_logging_args, add_tpu_args
+    parser = argparse.ArgumentParser(description="Generate responses")
+    parser.add_argument("--gpu", "-g", default=0, type=int,
+                        help="accepted for run.sh parity; unused under JAX")
+    parser.add_argument("--test-path", default="", type=str)
+    parser.add_argument("--test-set", default="", type=str)
+    parser.add_argument("--model-conf", default="", type=str,
+                        help="accepted for parity; config is read from "
+                             "<model prefix>.conf.json")
+    parser.add_argument("--model", "-m", default="", type=str,
+                        help="model prefix, optionally with _<epoch|best> "
+                             "suffix (run.sh:161 style)")
+    parser.add_argument("--maxlen", default=30, type=int)
+    parser.add_argument("--beam", default=3, type=int)
+    parser.add_argument("--penalty", default=2.0, type=float)
+    parser.add_argument("--nbest", default=5, type=int)
+    parser.add_argument("--output", "-o", default="", type=str)
+    parser.add_argument("--decode-style", default="greedy", type=str,
+                        choices=["greedy", "beam_search"])
+    parser.add_argument("--undisclosed-only", default=0, type=int)
+    parser.add_argument("--labeled-test", default=None, type=str)
+    parser.add_argument("--turn-batch", default=16, type=int,
+                        help="dialogue turns decoded per device batch")
+    add_tpu_args(parser)
+    add_logging_args(parser)
+    return parser
+
+
+def _split_model_arg(model: str):
+    """'exps/x/mtn_best' -> ('exps/x/mtn', 'best'); '..._7' -> (.., 7)."""
+    if "_" in model:
+        prefix, suffix = model.rsplit("_", 1)
+        if suffix == "best" or suffix == "latest":
+            return prefix, suffix
+        if suffix.isdigit():
+            return prefix, int(suffix)
+    return model, "best"
+
+
+def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
+                       vocab, ref_data=None, log=True):
+    """Decode every turn; returns the reference-format result dict
+    (generate.py:39-41,68 semantics: deep-copied dialogs with the 1-best
+    hypothesis string in place of each answer)."""
+    import numpy as np
+    from mtn_tpu.data import make_batch_indices
+    from mtn_tpu.data.batching import make_batch
+    from mtn_tpu.data.vocab import vocab_list
+    from mtn_tpu.decode.beam import BeamDecoder
+    from mtn_tpu.train.batch import device_batch
+
+    vlist = vocab_list(vocab)
+    decoder = BeamDecoder(model_cfg, decode_cfg)
+    # length-sorted plans pack similar turns together (padding efficiency);
+    # qa_ids map results back to dialogue order
+    plans, n = make_batch_indices(dataset, batchsize=decode_cfg.turn_batch,
+                                  max_length=10 ** 9,
+                                  separate_caption=data_cfg.separate_caption)
+    answers = {}
+    scores = {}
+    t0 = time.time()
+    for plan in plans:
+        hb = make_batch(dataset, plan,
+                        separate_caption=data_cfg.separate_caption,
+                        skip=data_cfg.skip,
+                        length_bucket=data_cfg.length_bucket,
+                        feature_bucket=data_cfg.feature_bucket,
+                        pad_rows_to=decode_cfg.turn_batch)
+        db = device_batch(hb)
+        if decode_cfg.decode_style == "beam_search":
+            results = decoder.beam_batch(params, db)
+            for qa_id, res in zip(plan.qa_ids, results):
+                words = []
+                for tok in res.tokens[0]:
+                    if tok == vocab["<eos>"]:
+                        break
+                    words.append(vlist[tok])
+                answers[qa_id] = " ".join(words)
+                scores[qa_id] = res.scores[0]
+        else:
+            toks = decoder.greedy_batch(params, db)
+            for qa_id, row in zip(plan.qa_ids, toks):
+                answers[qa_id] = " ".join(vlist[t] for t in row)
+                scores[qa_id] = 0.0
+    wall = time.time() - t0
+
+    result_dialogs = []
+    qa_id = 0
+    undisclosed = decode_cfg.undisclosed_only
+    for idx, dialog in enumerate(dataset.original["dialogs"]):
+        vid = dialog["image_id"]
+        out_dialog = dialog["dialog"][-1:] if undisclosed \
+            else dialog["dialog"]
+        pred = {"image_id": vid, "dialog": copy.deepcopy(out_dialog)}
+        result_dialogs.append(pred)
+        for t, qa in enumerate(out_dialog):
+            if log:
+                logging.info("%d %s_%d", qa_id, vid, t)
+                logging.info("QS: %s", qa["question"])
+                if undisclosed and ref_data is not None:
+                    ref_turn = ref_data["dialogs"][idx]["dialog"][-1:][t]
+                    logging.info("REF: %s", ref_turn["answer"])
+                else:
+                    logging.info("REF: %s", qa["answer"])
+                logging.info("HYP[1]: %s  ( %f )", answers[qa_id],
+                             scores[qa_id])
+            pred["dialog"][t]["answer"] = answers[qa_id]
+            qa_id += 1
+    logging.info("decoded %d turns in %.2fs (%.2f responses/sec)", n, wall,
+                 n / max(wall, 1e-9))
+    return {"dialogs": result_dialogs}, wall, n
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from mtn_tpu.cli.common import print_args, setup_logging
+    setup_logging(args.verbose)
+    print_args(args)
+    import jax
+    from mtn_tpu.config import DecodeConfig, config_from_dict
+    from mtn_tpu.data import load
+    from mtn_tpu.data.batching import make_batch
+    from mtn_tpu.train.trainer import Trainer
+    from mtn_tpu.config import TrainConfig
+    from mtn_tpu.utils.checkpoint import CheckpointManager
+
+    prefix, epoch = _split_model_arg(args.model)
+    logging.info("Loading model params from %s (epoch=%s)", prefix, epoch)
+    ckpt = CheckpointManager(prefix)
+    vocab, conf = ckpt.load_conf()
+    model_cfg = config_from_dict("model", conf["model"])
+    data_cfg = config_from_dict("data", conf["data"])
+    model_cfg.dtype = args.dtype
+    model_cfg.use_pallas_attention = bool(args.use_pallas_attention)
+    if args.dtype == "float32":
+        jax.config.update("jax_default_matmul_precision", "highest")
+    logging.info("#vocab = %d", len(vocab))
+
+    logging.info("Loading test data from %s", args.test_set)
+    fea_type = data_cfg.fea_type if data_cfg.fea_type and \
+        data_cfg.fea_type[0] != "none" else None
+    test_data = load(fea_type, args.test_path, args.test_set, vocab,
+                     include_caption=data_cfg.include_caption,
+                     separate_caption=data_cfg.separate_caption,
+                     max_history_length=data_cfg.max_history_length,
+                     merge_source=data_cfg.merge_source,
+                     undisclosed_only=bool(args.undisclosed_only))
+    logging.info("#test sample = %d", len(test_data))
+
+    # init abstract state to restore params into
+    from mtn_tpu.data import make_batch_indices
+    from mtn_tpu.train.batch import device_batch
+    trainer = Trainer(model_cfg, TrainConfig())
+    plans, _ = make_batch_indices(test_data, 1,
+                                  separate_caption=data_cfg.separate_caption)
+    sample = device_batch(make_batch(
+        test_data, plans[0], separate_caption=data_cfg.separate_caption))
+    state = trainer.init_state(jax.random.PRNGKey(0), sample)
+    params, used_epoch = ckpt.restore_params(state, epoch)
+    logging.info("Restored checkpoint epoch %s", used_epoch)
+
+    decode_cfg = DecodeConfig(
+        maxlen=args.maxlen, beam=args.beam, penalty=args.penalty,
+        nbest=args.nbest, decode_style=args.decode_style,
+        undisclosed_only=bool(args.undisclosed_only),
+        labeled_test=args.labeled_test, turn_batch=args.turn_batch)
+    ref_data = None
+    if args.undisclosed_only and args.labeled_test:
+        with open(args.labeled_test) as f:
+            ref_data = json.load(f)
+    logging.info("--------------------generate--------------------")
+    t0 = time.time()
+    result, wall, n = generate_responses(
+        params, model_cfg, test_data, decode_cfg, data_cfg, vocab,
+        ref_data=ref_data, log=args.verbose >= 1)
+    logging.info("wall time = %f", time.time() - t0)
+    if args.output:
+        logging.info("writing results to %s", args.output)
+        with open(args.output, "w") as f:
+            json.dump(result, f, indent=4)
+    logging.info("done")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

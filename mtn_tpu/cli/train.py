@@ -1,0 +1,207 @@
+"""Training entry point — flag surface mirrors the reference
+(train.py:57-95) plus TPU-native knobs; run.sh stage 2 calls this.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from mtn_tpu.cli.common import add_logging_args, add_tpu_args
+    parser = argparse.ArgumentParser(description="Train MTN on TPU")
+    parser.add_argument("--gpu", "-g", default=0, type=int,
+                        help="accepted for run.sh parity; device selection "
+                             "is handled by JAX")
+    parser.add_argument("--fea-type", nargs="+", type=str,
+                        help="feature stream names (or 'none')")
+    parser.add_argument("--train-path", default="", type=str)
+    parser.add_argument("--train-set", default="", type=str)
+    parser.add_argument("--valid-path", default="", type=str)
+    parser.add_argument("--valid-set", default="", type=str)
+    parser.add_argument("--include-caption", default="none", type=str)
+    parser.add_argument("--separate-caption", default=0, type=int)
+    parser.add_argument("--cut-a", default=0, type=int)
+    parser.add_argument("--merge-source", default=0, type=int)
+    parser.add_argument("--exclude-video", action="store_true")
+    parser.add_argument("--fixed-word-emb", default=0, type=int,
+                        help="accepted for parity; unused (as in reference)")
+    parser.add_argument("--model", default=None, type=str,
+                        help="output prefix for checkpoints/logs")
+    parser.add_argument("--nb-blocks", default=6, type=int)
+    parser.add_argument("--d-model", default=512, type=int)
+    parser.add_argument("--d-ff", default=2048, type=int)
+    parser.add_argument("--att-h", default=8, type=int)
+    parser.add_argument("--dropout", default=0.1, type=float)
+    parser.add_argument("--separate-his-embed", default=0, type=int)
+    parser.add_argument("--separate-cap-embed", default=0, type=int)
+    parser.add_argument("--diff-encoder", default=0, type=int)
+    parser.add_argument("--diff-embed", default=0, type=int)
+    parser.add_argument("--diff-gen", default=0, type=int)
+    parser.add_argument("--auto-encoder-ft", default=None, type=str)
+    parser.add_argument("--num-epochs", "-e", default=15, type=int)
+    parser.add_argument("--rand-seed", "-s", default=1, type=int)
+    parser.add_argument("--batch-size", "-b", default=32, type=int)
+    parser.add_argument("--max-length", default=20, type=int)
+    parser.add_argument("--max-history-length", default=-1, type=int)
+    parser.add_argument("--report-interval", default=100, type=int)
+    parser.add_argument("--warmup-steps", default=4000, type=int)
+    parser.add_argument("--loss-l", default=1.0, type=float)
+    parser.add_argument("--vocab-cutoff", default=5, type=int,
+                        help="keep words with freq > cutoff "
+                             "(reference effective value: 5)")
+    parser.add_argument("--resume", default=None, type=str,
+                        help="resume from checkpoint: 'latest'|'best'|epoch")
+    parser.add_argument("--keep-checkpoints", default=0, type=int)
+    add_tpu_args(parser)
+    add_logging_args(parser)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from mtn_tpu.cli.common import (make_mesh_from_args, print_args,
+                                    setup_logging)
+    setup_logging(args.verbose)
+    print_args(args)
+    import jax
+    from mtn_tpu.config import DataConfig, ModelConfig, TrainConfig
+    from mtn_tpu.data import get_vocabulary, load, make_batch_indices
+    from mtn_tpu.data.pipeline import BatchIterator, shuffled
+    from mtn_tpu.train.trainer import Trainer
+    from mtn_tpu.utils.checkpoint import CheckpointManager
+    from mtn_tpu.utils.logging import TraceLogger, dump_params_txt
+    from mtn_tpu.utils import profiling
+
+    if args.dtype == "float32":
+        # full-precision matmuls for reference-parity numerics; bfloat16
+        # compute uses the MXU natively
+        jax.config.update("jax_default_matmul_precision", "highest")
+    if args.nan_checks:
+        profiling.enable_nan_checks(True)
+
+    logging.info("Extracting words from %s", args.train_set)
+    vocab = get_vocabulary(args.train_set, cutoff=args.vocab_cutoff,
+                           include_caption=args.include_caption)
+    logging.info("#vocab = %d", len(vocab))
+    fea_type = None if (args.exclude_video or not args.fea_type) \
+        else args.fea_type
+    common = dict(include_caption=args.include_caption,
+                  separate_caption=bool(args.separate_caption),
+                  max_history_length=args.max_history_length,
+                  merge_source=bool(args.merge_source))
+    logging.info("Loading training data from %s", args.train_set)
+    train_data = load(fea_type, args.train_path, args.train_set, vocab,
+                      **common)
+    logging.info("Loading validation data from %s", args.valid_set)
+    valid_data = load(fea_type, args.valid_path, args.valid_set, vocab,
+                      **common)
+    feature_dims = train_data.feature_dims()
+    logging.info("Detected feature dims: %s", feature_dims)
+    train_plans, n_train = make_batch_indices(
+        train_data, args.batch_size, max_length=args.max_length,
+        separate_caption=bool(args.separate_caption))
+    valid_plans, n_valid = make_batch_indices(
+        valid_data, args.batch_size, max_length=args.max_length,
+        separate_caption=bool(args.separate_caption))
+    logging.info("#train sample = %d  #train batch = %d", n_train,
+                 len(train_plans))
+    logging.info("#validation sample = %d  #validation batch = %d", n_valid,
+                 len(valid_plans))
+
+    model_cfg = ModelConfig(
+        vocab_size=len(vocab), nb_blocks=args.nb_blocks,
+        d_model=args.d_model, d_ff=args.d_ff, att_h=args.att_h,
+        dropout=args.dropout, ft_sizes=feature_dims,
+        separate_his_embed=bool(args.separate_his_embed),
+        separate_cap_embed=bool(args.separate_cap_embed),
+        diff_encoder=bool(args.diff_encoder),
+        diff_embed=bool(args.diff_embed), diff_gen=bool(args.diff_gen),
+        auto_encoder_ft=args.auto_encoder_ft, dtype=args.dtype,
+        use_pallas_attention=bool(args.use_pallas_attention))
+    data_cfg = DataConfig(
+        fea_type=args.fea_type or [], train_path=args.train_path,
+        train_set=args.train_set, valid_path=args.valid_path,
+        valid_set=args.valid_set, include_caption=args.include_caption,
+        separate_caption=bool(args.separate_caption),
+        max_history_length=args.max_history_length,
+        merge_source=bool(args.merge_source), batch_size=args.batch_size,
+        max_length=args.max_length, cut_a=bool(args.cut_a),
+        vocab_cutoff=args.vocab_cutoff, length_bucket=args.length_bucket,
+        feature_bucket=args.feature_bucket, prefetch=args.prefetch)
+    train_cfg = TrainConfig(
+        num_epochs=args.num_epochs, batch_size=args.batch_size,
+        warmup_steps=args.warmup_steps, loss_l=args.loss_l,
+        rand_seed=args.rand_seed, report_interval=args.report_interval,
+        model=args.model, keep_checkpoints=args.keep_checkpoints)
+
+    mesh, shardings = make_mesh_from_args(args, batch_size=args.batch_size)
+    trainer = Trainer(model_cfg, train_cfg, mesh=mesh, shardings=shardings)
+
+    os.makedirs(os.path.dirname(args.model) or ".", exist_ok=True)
+    ckpt = CheckpointManager(args.model)
+    ckpt.save_conf(vocab, model=model_cfg, data=data_cfg, train=train_cfg)
+    dump_params_txt(args.model + "_params.txt", vars(args))
+    logs = TraceLogger(args.model)
+    logging.info("Saving training results to %s", logs.train_csv.path)
+
+    rng = jax.random.PRNGKey(args.rand_seed)
+    np_rng = np.random.default_rng(args.rand_seed)
+    init_it = BatchIterator(train_data, train_plans[:1], data_cfg,
+                            train=False, prefetch=0)
+    from mtn_tpu.train.batch import device_batch
+    sample = device_batch(next(iter(init_it)))
+    if shardings is not None:
+        sample = shardings.put_batch(sample)
+    state = trainer.init_state(rng, sample)
+    start_epoch = 0
+    if args.resume:
+        state, ep = ckpt.restore(state, args.resume)
+        start_epoch = int(ep)
+        logging.info("Resumed from epoch %d (step %d)", start_epoch,
+                     int(state.step))
+
+    logging.info("----------------")
+    logging.info("Start training")
+    logging.info("----------------")
+    min_valid_loss = float("inf")
+    bestmodel_num = 0
+    base_rng = jax.random.PRNGKey(args.rand_seed + 1)
+    with profiling.trace(args.profile_dir):
+        for epoch in range(start_epoch, args.num_epochs):
+            it = BatchIterator(train_data, shuffled(train_plans, np_rng),
+                               data_cfg, train=True, rng=np_rng)
+            state, train_loss = trainer.run_epoch(
+                state, it, base_rng, train=True,
+                report_fn=lambda step, loss, tps: (
+                    print("Epoch: %d Step: %d Loss: %f Tokens per Sec: %f"
+                          % (epoch + 1, step, loss, tps)),
+                    logs.train_step(epoch + 1, step, loss, tps)))
+            logging.info("epoch: %d  train loss: %f", epoch + 1, train_loss)
+            logging.info("-------validation--------")
+            vit = BatchIterator(valid_data, valid_plans, data_cfg,
+                                train=False)
+            _, valid_loss = trainer.run_epoch(state, vit, train=False)
+            logging.info("epoch: %d validation loss: %f", epoch + 1,
+                         valid_loss)
+            logs.epoch(epoch + 1, "train", train_loss)
+            logs.epoch(epoch + 1, "val", valid_loss)
+            ckpt.save(epoch + 1, state, val_loss=valid_loss,
+                      keep=args.keep_checkpoints)
+            if valid_loss < min_valid_loss:
+                logging.info("validation loss reduced %.4f -> %.4f",
+                             min_valid_loss, valid_loss)
+                min_valid_loss = valid_loss
+                bestmodel_num = epoch + 1
+            logging.info("----------------")
+    logging.info("the best model is epoch %d.", bestmodel_num)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

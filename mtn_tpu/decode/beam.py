@@ -1,0 +1,228 @@
+"""Jit-compiled batched beam search with KV + auto-encoder caches.
+
+Semantics parity with the reference ``beam_search_decode``
+(data_utils.py:188-242):
+
+- the beam expands every surviving hypothesis each step; candidate
+  expansions *skip* ``<unk>`` and ``<eos>`` (data_utils.py:220-221);
+- a completed hypothesis is recorded at every step ``l >= min_len`` with
+  score ``lp + logp[<eos>] + penalty·(len+1)`` (length reward,
+  data_utils.py:213-217);
+- all ``maxlen`` steps run regardless of completions, and the final
+  n-best is the global top-``nbest`` over every recorded completion;
+- the reference's replace-argmin insertion over per-hypothesis descending
+  candidates is equivalent to a global top-``beam`` over the
+  (beam × vocab) candidate matrix, which is how it is computed here.
+
+Performance design (the ≥20× opportunity, SURVEY.md §3.2): the reference
+decodes one dialogue turn at a time (generate.py:146) and re-runs the
+full decoder over the whole prefix for each of the ~beam×maxlen steps
+with a host sync per hypothesis. Here:
+
+- many dialogue turns are decoded per device batch (``turn_batch``);
+- encoder outputs, the full auto-encoder chain, and every cross-attention
+  K/V are computed once per turn (``MTN.init_decode_state``) and tiled
+  over the beam;
+- each step advances ONE token for all (turns × beam) rows with a
+  self-attention KV cache inside one ``lax.scan`` — no host round-trips
+  until the scan finishes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mtn_tpu.config import DecodeConfig, ModelConfig
+from mtn_tpu.data.vocab import SPECIALS
+from mtn_tpu.models.mtn import MTN, DecodeState
+from mtn_tpu.train.batch import DeviceBatch, batch_masks
+
+NEG_INF = -1.0e30
+
+
+@dataclass
+class BeamResult:
+    """Host-side n-best for one turn."""
+
+    tokens: List[List[int]]   # nbest token lists (no <sos>/<eos>)
+    scores: List[float]
+
+
+class BeamDecoder:
+    def __init__(self, model_cfg: ModelConfig, decode_cfg: DecodeConfig,
+                 pad: int = SPECIALS["<blank>"], sos: int = SPECIALS["<sos>"],
+                 eos: int = SPECIALS["<eos>"], unk: int = SPECIALS["<unk>"],
+                 mesh=None):
+        self.model = MTN(model_cfg)
+        self.cfg = decode_cfg
+        self.pad, self.sos, self.eos, self.unk = pad, sos, eos, unk
+        self.mesh = mesh
+        self._beam_fn = None
+        self._greedy_fn = None
+
+    # ------------------------------------------------------------------
+    def _decode_state(self, params, batch: DeviceBatch) -> DecodeState:
+        masks, _ = batch_masks(batch, self.pad)
+        return self.model.apply(
+            {"params": params}, batch.query, batch.his, batch.cap,
+            batch.fts, masks, method=MTN.init_decode_state)
+
+    def _step(self, params, state, tokens, pos, self_kv):
+        return self.model.apply({"params": params}, state, tokens, pos,
+                                self_kv, method=MTN.decode_step)
+
+    # ------------------------------------------------------------------
+    def _build_beam(self):
+        cfg = self.cfg
+        beam, nbest = cfg.beam, cfg.nbest
+        maxlen, min_len, penalty = cfg.maxlen, cfg.min_len, cfg.penalty
+        eos, unk, sos = self.eos, self.unk, self.sos
+
+        def beam_fn(params, batch: DeviceBatch):
+            B = batch.query.shape[0]
+            state = self._decode_state(params, batch)
+            # tile every per-turn tensor over the beam: row b*beam+k = turn b
+            state = jax.tree.map(lambda x: jnp.repeat(x, beam, axis=0), state)
+            self_kv = self.model.init_self_kv(B * beam, maxlen)
+            V = None  # bound on first step
+
+            tok_buf = jnp.full((B, beam, maxlen + 1), self.pad, jnp.int32)
+            tok_buf = tok_buf.at[:, :, 0].set(sos)
+            scores = jnp.full((B, beam), NEG_INF, jnp.float32)
+            scores = scores.at[:, 0].set(0.0)  # 1 live hypothesis at step 0
+            comp_scores = jnp.full((B, nbest), NEG_INF, jnp.float32)
+            comp_buf = jnp.full((B, nbest, maxlen + 1), self.pad, jnp.int32)
+            comp_len = jnp.zeros((B, nbest), jnp.int32)
+
+            def step(carry, l):
+                tok_buf, scores, self_kv, comp_scores, comp_buf, comp_len = carry
+                cur = jax.lax.dynamic_index_in_dim(
+                    tok_buf, l, axis=2, keepdims=False).reshape(B * beam)
+                logp, self_kv = self._step(params, state, cur, l, self_kv)
+                V = logp.shape[-1]
+                logp = logp.reshape(B, beam, V)
+                # -- record completions (score: data_utils.py:214) --------
+                eos_sc = scores + logp[:, :, eos] \
+                    + penalty * (l + 1).astype(jnp.float32)
+                eos_sc = jnp.where(l >= min_len, eos_sc, NEG_INF)
+                all_sc = jnp.concatenate([comp_scores, eos_sc], axis=1)
+                all_buf = jnp.concatenate([comp_buf, tok_buf], axis=1)
+                all_len = jnp.concatenate(
+                    [comp_len, jnp.full((B, beam), l, jnp.int32)], axis=1)
+                comp_scores, top = jax.lax.top_k(all_sc, nbest)
+                comp_buf = jnp.take_along_axis(all_buf, top[:, :, None],
+                                               axis=1)
+                comp_len = jnp.take_along_axis(all_len, top, axis=1)
+                # -- expand continuations (skip unk/eos) ------------------
+                cand = scores[:, :, None] + logp
+                cand = cand.at[:, :, unk].set(NEG_INF)
+                cand = cand.at[:, :, eos].set(NEG_INF)
+                scores, idx = jax.lax.top_k(cand.reshape(B, beam * V), beam)
+                parent = idx // V
+                token = (idx % V).astype(jnp.int32)
+                tok_buf = jnp.take_along_axis(tok_buf, parent[:, :, None],
+                                              axis=1)
+                write = jnp.arange(maxlen + 1)[None, None, :] == (l + 1)
+                tok_buf = jnp.where(write, token[:, :, None], tok_buf)
+
+                def reorder(kv):
+                    k, v = kv
+                    def ro(x):
+                        x = x.reshape((B, beam) + x.shape[1:])
+                        idx = parent.reshape(parent.shape + (1,) * (x.ndim - 2))
+                        x = jnp.take_along_axis(x, idx, axis=1)
+                        return x.reshape((B * beam,) + x.shape[2:])
+                    return ro(k), ro(v)
+
+                self_kv = tuple(reorder(kv) for kv in self_kv)
+                return (tok_buf, scores, self_kv, comp_scores, comp_buf,
+                        comp_len), None
+
+            carry = (tok_buf, scores, self_kv, comp_scores, comp_buf,
+                     comp_len)
+            carry, _ = jax.lax.scan(step, carry, jnp.arange(maxlen))
+            _, _, _, comp_scores, comp_buf, comp_len = carry
+            return comp_scores, comp_buf, comp_len
+
+        if self.mesh is not None:
+            with self.mesh:
+                return jax.jit(beam_fn)
+        return jax.jit(beam_fn)
+
+    # ------------------------------------------------------------------
+    def _build_greedy(self):
+        maxlen = self.cfg.maxlen
+
+        def greedy_fn(params, batch: DeviceBatch):
+            B = batch.query.shape[0]
+            state = self._decode_state(params, batch)
+            self_kv = self.model.init_self_kv(B, maxlen)
+            toks = jnp.full((B, maxlen + 1), self.pad, jnp.int32)
+            toks = toks.at[:, 0].set(self.sos)
+
+            def step(carry, l):
+                toks, self_kv = carry
+                cur = jax.lax.dynamic_index_in_dim(toks, l, axis=1,
+                                                   keepdims=False)
+                logp, self_kv = self._step(params, state, cur, l, self_kv)
+                nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+                write = jnp.arange(maxlen + 1)[None, :] == (l + 1)
+                toks = jnp.where(write, nxt[:, None], toks)
+                return (toks, self_kv), None
+
+            (toks, _), _ = jax.lax.scan(step, (toks, self_kv),
+                                        jnp.arange(maxlen))
+            return toks
+
+        if self.mesh is not None:
+            with self.mesh:
+                return jax.jit(greedy_fn)
+        return jax.jit(greedy_fn)
+
+    # ------------------------------------------------------------------
+    def beam_batch(self, params, batch: DeviceBatch) -> List[BeamResult]:
+        """Beam-decode every row; returns one BeamResult per *valid* row."""
+        if self._beam_fn is None:
+            self._beam_fn = self._build_beam()
+        comp_scores, comp_buf, comp_len = jax.device_get(
+            self._beam_fn(params, batch))
+        valid = np.asarray(batch.valid)
+        results = []
+        for b in range(comp_scores.shape[0]):
+            if not valid[b]:
+                continue
+            toks, scs = [], []
+            for n in range(comp_scores.shape[1]):
+                if comp_scores[b, n] <= NEG_INF / 2:
+                    continue
+                L = int(comp_len[b, n])
+                toks.append([int(t) for t in comp_buf[b, n, 1:L + 1]])
+                scs.append(float(comp_scores[b, n]))
+            if not toks:  # reference fallback (data_utils.py:241-242)
+                toks, scs = [[]], [0.0]
+            results.append(BeamResult(tokens=toks, scores=scs))
+        return results
+
+    def greedy_batch(self, params, batch: DeviceBatch) -> List[List[int]]:
+        """Greedy-decode every row; tokens after <sos>, cut at <eos>."""
+        if self._greedy_fn is None:
+            self._greedy_fn = self._build_greedy()
+        toks = np.asarray(jax.device_get(self._greedy_fn(params, batch)))
+        valid = np.asarray(batch.valid)
+        out = []
+        for b in range(toks.shape[0]):
+            if not valid[b]:
+                continue
+            row = []
+            for t in toks[b, 1:]:
+                if int(t) == self.eos:
+                    break
+                row.append(int(t))
+            out.append(row)
+        return out

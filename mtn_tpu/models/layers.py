@@ -1,0 +1,201 @@
+"""Core transformer building blocks (flax.linen).
+
+Numerics parity notes vs the reference (mtn.py):
+
+- :class:`RefLayerNorm` matches the reference LayerNorm (mtn.py:103-114):
+  it divides by ``std + eps`` where ``std`` is the *unbiased* (ddof=1)
+  standard deviation — torch ``Tensor.std`` default — not the usual
+  ``sqrt(var + eps)``.
+- :class:`ScaledEmbed` multiplies embeddings by ``sqrt(d_model)``
+  (mtn.py:282-289); :class:`PosEncoding` adds the sinusoidal table and
+  applies dropout (mtn.py:291-309).
+- :class:`MultiHeadAttention` keeps the reference's fixed attention-prob
+  dropout of 0.1 (make_model constructs ``MultiHeadedAttention(h,
+  d_model)`` with the default dropout at mtn.py:339, independent of the
+  ``--dropout`` flag).
+- Pre-norm residual sublayers: ``x + dropout(f(norm(x)))``
+  (SublayerConnection, mtn.py:116-127).
+
+Decode-time extras (no reference equivalent — the reference re-runs the
+full decoder per step, data_utils.py:202-206): attention modules expose
+``project_kv`` / ``attend_with_kv`` so cross-attention K/V and the
+auto-encoder chain can be computed once and cached.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mtn_tpu.ops.attention import multi_head_attention
+from mtn_tpu.ops.positional import sinusoidal_table
+
+
+class RefLayerNorm(nn.Module):
+    eps: float = 1e-6
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        a = self.param("scale", nn.initializers.ones, (d,), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (d,), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        # unbiased std (ddof=1), matching torch Tensor.std / mtn.py:113
+        var = jnp.sum(jnp.square(xf - mean), axis=-1, keepdims=True) / (d - 1)
+        y = a * (xf - mean) / (jnp.sqrt(var) + self.eps) + b
+        return y.astype(x.dtype)
+
+
+class ScaledEmbed(nn.Module):
+    vocab_size: int
+    d_model: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        emb = nn.Embed(self.vocab_size, self.d_model,
+                       embedding_init=nn.initializers.xavier_uniform(),
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="lut")(tokens)
+        return emb * jnp.asarray(jnp.sqrt(self.d_model), emb.dtype)
+
+
+class PosEncoding(nn.Module):
+    d_model: int
+    dropout: float
+    max_len: int = 5000
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.pe = sinusoidal_table(self.max_len, self.d_model, self.dtype)
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 offset: int = 0) -> jnp.ndarray:
+        L = x.shape[-2]
+        x = x + jax.lax.dynamic_slice_in_dim(self.pe, offset, L, axis=0)
+        return self.drop(x, deterministic=deterministic)
+
+    def at(self, x: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+        """Add the PE row for a traced position (single-step decode)."""
+        row = jax.lax.dynamic_slice_in_dim(self.pe, pos, 1, axis=0)
+        return x + row
+
+
+class MultiHeadAttention(nn.Module):
+    """h-head scaled dot-product attention (mtn.py:233-267)."""
+
+    n_heads: int
+    d_model: int
+    attn_dropout: float = 0.1   # reference-fixed (mtn.py:339 default)
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    def setup(self):
+        assert self.d_model % self.n_heads == 0
+        dense = lambda name: nn.Dense(
+            self.d_model, dtype=self.dtype, param_dtype=self.param_dtype,
+            kernel_init=nn.initializers.xavier_uniform(), name=name)
+        self.w_q, self.w_k, self.w_v = dense("w_q"), dense("w_k"), dense("w_v")
+        self.w_o = dense("w_o")
+
+    def _split(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, L, _ = x.shape
+        d_k = self.d_model // self.n_heads
+        return x.reshape(B, L, self.n_heads, d_k).transpose(0, 2, 1, 3)
+
+    def _merge(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, L, d_k = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(B, L, H * d_k)
+
+    def project_kv(self, kv_in: jnp.ndarray):
+        """(B, Lk, D) -> cached ((B,H,Lk,Dk), (B,H,Lk,Dk))."""
+        return self._split(self.w_k(kv_in)), self._split(self.w_v(kv_in))
+
+    def attend_with_kv(self, q_in: jnp.ndarray, k: jnp.ndarray,
+                       v: jnp.ndarray, mask: Optional[jnp.ndarray],
+                       deterministic: bool = True) -> jnp.ndarray:
+        q = self._split(self.w_q(q_in))
+        rng = None
+        rate = 0.0 if deterministic else self.attn_dropout
+        if rate > 0.0:
+            rng = self.make_rng("dropout")
+        out = multi_head_attention(q, k, v, mask, dropout_rate=rate,
+                                   dropout_rng=rng,
+                                   use_pallas=self.use_pallas)
+        return self.w_o(self._merge(out))
+
+    def __call__(self, q_in: jnp.ndarray, k_in: jnp.ndarray,
+                 v_in: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        if mask is not None:
+            mask = mask[:, None]  # add head axis (data_utils-style (B,1,·,Lk))
+        k, v = self._split(self.w_k(k_in)), self._split(self.w_v(v_in))
+        return self.attend_with_kv(q_in, k, v, mask, deterministic)
+
+
+class FeedForward(nn.Module):
+    """FFN: Linear -> ReLU -> dropout -> Linear (mtn.py:269-280)."""
+
+    d_model: int
+    d_ff: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        h = nn.Dense(self.d_ff, dtype=self.dtype,
+                     param_dtype=self.param_dtype,
+                     kernel_init=nn.initializers.xavier_uniform(),
+                     name="w_1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(self.d_model, dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        kernel_init=nn.initializers.xavier_uniform(),
+                        name="w_2")(h)
+
+
+class Sublayer(nn.Module):
+    """Pre-norm residual connection: ``x + dropout(f(norm(x)))``."""
+
+    dropout: float
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.norm = RefLayerNorm(param_dtype=self.param_dtype)
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, x, f, deterministic: bool = True):
+        return x + self.drop(f(self.norm(x)), deterministic=deterministic)
+
+    def normed(self, x):
+        return self.norm(x)
+
+    def residual(self, x, fx, deterministic: bool = True):
+        return x + self.drop(fx, deterministic=deterministic)
+
+
+class Generator(nn.Module):
+    """Linear + log_softmax over the vocabulary (mtn.py:62-69)."""
+
+    vocab_size: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        logits = nn.Dense(self.vocab_size, dtype=self.dtype,
+                          param_dtype=self.param_dtype,
+                          kernel_init=nn.initializers.xavier_uniform(),
+                          name="proj")(x)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -1,0 +1,108 @@
+"""Sharding rules: parameter partition specs + batch constraints.
+
+Tensor-parallel layout (Megatron-style column→row pairing so each
+attention/FFN block needs exactly one reduce over ``model``):
+
+- attention q/k/v projections: output (head) dim sharded — heads split
+  across ``model``; the output projection ``w_o`` is row-sharded so its
+  matmul reduces the partial sums;
+- FFN ``w_1`` column-sharded, ``w_2`` row-sharded;
+- embeddings vocab-sharded; the generator projection vocab-sharded on the
+  output (the log-softmax reduction is handled by GSPMD);
+- everything else (norms, biases of row-sharded layers) replicated.
+
+Data parallelism: the batch leading axis is sharded over ``data``; since
+parameters are replicated over ``data``, GSPMD emits the gradient psum
+over ICI automatically.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, List, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def default_rules() -> List[Tuple[str, P]]:
+    return [
+        (r"lut/embedding$", P("model", None)),
+        (r"generator.*proj/kernel$", P(None, "model")),
+        (r"generator.*proj/bias$", P("model")),
+        (r"(w_q|w_k|w_v)/kernel$", P(None, "model")),
+        (r"(w_q|w_k|w_v)/bias$", P("model")),
+        (r"w_o/kernel$", P("model", None)),
+        (r"w_1/kernel$", P(None, "model")),
+        (r"w_1/bias$", P("model")),
+        (r"w_2/kernel$", P("model", None)),
+        (r"vid_encoder.*proj/kernel$", P(None, "model")),
+        (r"vid_encoder.*proj/bias$", P("model")),
+    ]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "name"):
+            parts.append(str(k.name))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+class Shardings:
+    """Maps parameter/optimizer/batch pytrees to NamedShardings."""
+
+    def __init__(self, mesh: Mesh, rules: List[Tuple[str, P]] = None):
+        self.mesh = mesh
+        self.rules = rules if rules is not None else default_rules()
+        self._compiled = [(re.compile(pat), spec) for pat, spec in self.rules]
+        self.model_size = mesh.shape.get("model", 1)
+
+    def spec_for(self, path_str: str, leaf) -> P:
+        ndim = getattr(leaf, "ndim", 0)
+        if self.model_size > 1:
+            for pat, spec in self._compiled:
+                if not pat.search(path_str) or len(spec) > ndim:
+                    continue
+                # apply only when every sharded dim divides evenly
+                if all(name is None or leaf.shape[axis] % self.model_size == 0
+                       for axis, name in enumerate(spec)):
+                    return spec
+        return P()
+
+    def tree_specs(self, tree) -> Any:
+        return jax.tree_util.tree_map_with_path(
+            lambda path, leaf: self.spec_for(_path_str(path), leaf), tree)
+
+    def tree_shardings(self, tree) -> Any:
+        return jax.tree.map(lambda spec: NamedSharding(self.mesh, spec),
+                            self.tree_specs(tree))
+
+    def shard_state(self, state):
+        """device_put a TrainState according to the rules."""
+        return jax.device_put(state, self.tree_shardings(state))
+
+    def batch_spec(self, leaf) -> P:
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim == 0:
+            return P()
+        return P(*(("data",) + (None,) * (ndim - 1)))
+
+    def constrain_batch(self, batch):
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, self.batch_spec(x))), batch)
+
+    def put_batch(self, batch):
+        """Host→device transfer with the data-parallel layout."""
+        return jax.device_put(
+            batch, jax.tree.map(
+                lambda x: NamedSharding(self.mesh, self.batch_spec(x)),
+                batch))

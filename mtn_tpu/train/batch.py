@@ -1,0 +1,61 @@
+"""Device-side batch representation + mask construction (jit-safe).
+
+The reference ``Batch`` (data_utils.py:21-54) builds masks eagerly on GPU;
+here the host batch carries tokens/features/lengths and all masks are pure
+functions evaluated inside jit (so they fuse with the model).
+
+Degenerate configurations the reference crashes on are supported cleanly:
+- no separate caption → a single-<blank> caption column (all-masked);
+- no video features → zero streams, no QAE sublayers, no AE loss.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mtn_tpu.data.batching import HostBatch
+from mtn_tpu.models.mtn import SourceMasks
+from mtn_tpu.ops.masks import length_mask, pad_mask, target_mask
+
+
+@struct.dataclass
+class DeviceBatch:
+    query: jnp.ndarray       # (B, Lq) int32
+    his: jnp.ndarray         # (B, Lh)
+    cap: jnp.ndarray         # (B, Lc)
+    answer_in: jnp.ndarray   # (B, La)
+    answer_out: jnp.ndarray  # (B, La)
+    fts: Tuple[jnp.ndarray, ...]      # per stream (B, T, D) float32
+    fts_len: Tuple[jnp.ndarray, ...]  # per stream (B,) int32
+    valid: jnp.ndarray       # (B,) bool
+
+
+def device_batch(hb: HostBatch) -> DeviceBatch:
+    cap = hb.cap
+    if cap is None:
+        # all-<blank> single-column caption; its pad mask is all-False
+        cap = np.ones((hb.query.shape[0], 1), dtype=np.int32)
+    return DeviceBatch(
+        query=jnp.asarray(hb.query), his=jnp.asarray(hb.his),
+        cap=jnp.asarray(cap), answer_in=jnp.asarray(hb.answer_in),
+        answer_out=jnp.asarray(hb.answer_out),
+        fts=tuple(jnp.asarray(f) for f in hb.fts),
+        fts_len=tuple(jnp.asarray(l) for l in hb.fts_len),
+        valid=jnp.asarray(hb.valid),
+    )
+
+
+def batch_masks(b: DeviceBatch, pad: int) -> Tuple[SourceMasks, jnp.ndarray]:
+    """Returns (source masks, target mask (B, La, La))."""
+    masks = SourceMasks(
+        query=pad_mask(b.query, pad),
+        his=pad_mask(b.his, pad),
+        cap=pad_mask(b.cap, pad),
+        vid=tuple(length_mask(l, f.shape[1])
+                  for l, f in zip(b.fts_len, b.fts)),
+    )
+    return masks, target_mask(b.answer_in, pad)

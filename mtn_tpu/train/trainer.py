@@ -1,0 +1,157 @@
+"""Jitted training/eval steps for MTN (single-device and mesh-aware).
+
+The whole reference per-batch train iteration (forward mtn.py:28-30, loss
++ backward + Noam/Adam step, data_utils.py:132-156) is one compiled XLA
+program. With a mesh (mtn_tpu.parallel), the batch is sharded over the
+``data`` axis and selected parameters over ``model``; GSPMD inserts the
+gradient reductions over ICI — there is no hand-written collective here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mtn_tpu.config import ModelConfig, TrainConfig
+from mtn_tpu.models.mtn import MTN
+from mtn_tpu.train.batch import DeviceBatch, batch_masks, device_batch
+from mtn_tpu.train.loss import mtn_loss
+from mtn_tpu.train.schedule import make_optimizer
+from mtn_tpu.data.vocab import SPECIALS, BLANK
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32
+
+
+class Trainer:
+    def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                 pad: int = SPECIALS[BLANK], mesh=None, shardings=None):
+        self.model = MTN(model_cfg)
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.pad = pad
+        self.mesh = mesh
+        self.shardings = shardings
+        self.optimizer = make_optimizer(model_cfg.d_model,
+                                        train_cfg.warmup_steps)
+        self._train_step = None
+        self._eval_step = None
+
+    # -- initialization -----------------------------------------------------
+    def init_state(self, rng: jax.Array, sample: DeviceBatch) -> TrainState:
+        masks, tgt_mask = batch_masks(sample, self.pad)
+        params = self.model.init(
+            {"params": rng}, sample.query, sample.his, sample.cap,
+            sample.fts, masks, sample.answer_in, tgt_mask,
+            method=MTN.init_all)["params"]
+        opt_state = self.optimizer.init(params)
+        state = TrainState(params=params, opt_state=opt_state,
+                           step=jnp.zeros((), jnp.int32))
+        if self.shardings is not None:
+            state = self.shardings.shard_state(state)
+        return state
+
+    # -- loss ---------------------------------------------------------------
+    def _loss_fn(self, params, batch: DeviceBatch, rng, deterministic: bool):
+        masks, tgt_mask = batch_masks(batch, self.pad)
+        rngs = {} if deterministic else {"dropout": rng}
+        (x, ae_outs), _ = self.model.apply(
+            {"params": params}, batch.query, batch.his, batch.cap,
+            batch.fts, masks, batch.answer_in, tgt_mask,
+            deterministic=deterministic, rngs=rngs,
+            mutable=[])
+        resp_logp = self.model.apply({"params": params}, x,
+                                     method=MTN.generate_logprobs)
+        ae_logps = self.model.apply({"params": params}, ae_outs,
+                                    method=MTN.ae_logprobs) if ae_outs else []
+        cfg = self.model_cfg
+        ae_targets = (batch.cap if cfg.auto_encoder_ft in ("caption", "summary")
+                      else batch.query)
+        loss, metrics = mtn_loss(resp_logp, batch.answer_out, ae_logps,
+                                 ae_targets, self.pad,
+                                 self.train_cfg.label_smoothing,
+                                 self.train_cfg.loss_l)
+        return loss, metrics
+
+    # -- steps --------------------------------------------------------------
+    def _build_train_step(self):
+        def step_fn(state: TrainState, batch: DeviceBatch, base_rng):
+            if self.shardings is not None:
+                batch = self.shardings.constrain_batch(batch)
+            rng = jax.random.fold_in(base_rng, state.step)
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            (loss, metrics), grads = grad_fn(state.params, batch, rng, False)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params)
+            params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype),
+                                  state.params, updates)
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   step=state.step + 1)
+            return new_state, metrics
+
+        donate = (0,)
+        if self.mesh is not None:
+            with self.mesh:
+                return jax.jit(step_fn, donate_argnums=donate)
+        return jax.jit(step_fn, donate_argnums=donate)
+
+    def _build_eval_step(self):
+        def step_fn(params, batch: DeviceBatch):
+            if self.shardings is not None:
+                batch = self.shardings.constrain_batch(batch)
+            _, metrics = self._loss_fn(params, batch, None, True)
+            return metrics
+        if self.mesh is not None:
+            with self.mesh:
+                return jax.jit(step_fn)
+        return jax.jit(step_fn)
+
+    def train_step(self, state: TrainState, batch: DeviceBatch,
+                   base_rng) -> Tuple[TrainState, dict]:
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        return self._train_step(state, batch, base_rng)
+
+    def eval_step(self, params, batch: DeviceBatch) -> dict:
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        return self._eval_step(params, batch)
+
+    # -- epoch loops (reference run_epoch, train.py:22-52) ------------------
+    def run_epoch(self, state: TrainState, batches, base_rng=None,
+                  train: bool = True,
+                  report_fn: Optional[Callable[[int, float, float], None]] = None
+                  ) -> Tuple[TrainState, float]:
+        """Returns (state, epoch average loss per token)."""
+        import time
+        total_loss = 0.0
+        total_tokens = 0.0
+        tokens = 0.0
+        start = time.time()
+        interval = self.train_cfg.report_interval
+        for j, hb in enumerate(batches):
+            batch = device_batch(hb)
+            if train:
+                state, metrics = self.train_step(state, batch, base_rng)
+            else:
+                metrics = self.eval_step(state.params, batch)
+            loss_x = float(metrics["loss_x_ntok"])
+            ntok = float(metrics["ntokens"])
+            total_loss += loss_x
+            total_tokens += ntok
+            tokens += ntok
+            if train and report_fn and (j + 1) % interval == 0:
+                elapsed = max(time.time() - start, 1e-9)
+                report_fn(j + 1, loss_x / ntok, tokens / elapsed)
+                start = time.time()
+                tokens = 0.0
+        return state, total_loss / max(total_tokens, 1.0)

@@ -1,0 +1,84 @@
+"""Fast cached beam search vs the slow reference-semantics oracle."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtn_tpu.config import DecodeConfig
+from mtn_tpu.decode.beam import BeamDecoder
+from mtn_tpu.models.mtn import MTN
+from mtn_tpu.train.batch import batch_masks
+from tests.fixtures import tiny_model_cfg
+from tests.slow_reference import slow_beam, slow_greedy
+from tests.test_model import _random_batch, PAD, SOS
+
+EOS, UNK = 3, 0
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    db = _random_batch(rng, B=3, vocab=20)
+    cfg = tiny_model_cfg(20, (12, 8), dropout=0.0)
+    model = MTN(cfg)
+    masks, tgt_mask = batch_masks(db, PAD)
+    params = model.init({"params": jax.random.PRNGKey(5)}, db.query, db.his,
+                        db.cap, db.fts, masks, db.answer_in, tgt_mask,
+                        method=MTN.init_all)["params"]
+    return cfg, model, params, db
+
+
+def _row(db, b):
+    return jax.tree.map(lambda x: x[b:b + 1] if hasattr(x, "shape")
+                        and x.ndim > 0 else x, db)
+
+
+def test_beam_matches_slow_reference(setup):
+    cfg, model, params, db = setup
+    dcfg = DecodeConfig(maxlen=6, beam=3, nbest=3, penalty=1.0, min_len=1)
+    dec = BeamDecoder(cfg, dcfg)
+    fast = dec.beam_batch(params, db)
+    for b in range(db.query.shape[0]):
+        want, best = slow_beam(model, params, _row(db, b), PAD, SOS, EOS,
+                               UNK, maxlen=6, beam=3, penalty=1.0, nbest=3)
+        got = fast[b]
+        assert len(got.tokens) == len(want)
+        for (wt, ws), gt, gs in zip(want, got.tokens, got.scores):
+            assert wt == gt, f"row {b}: {wt} != {gt}"
+            assert ws == pytest.approx(gs, abs=1e-2)
+
+
+def test_beam_penalty_lengthens(setup):
+    cfg, model, params, db = setup
+    short = BeamDecoder(cfg, DecodeConfig(maxlen=8, beam=3, nbest=1,
+                                          penalty=0.0))
+    long = BeamDecoder(cfg, DecodeConfig(maxlen=8, beam=3, nbest=1,
+                                         penalty=5.0))
+    ls = np.mean([len(r.tokens[0]) for r in short.beam_batch(params, db)])
+    ll = np.mean([len(r.tokens[0]) for r in long.beam_batch(params, db)])
+    assert ll >= ls
+
+
+def test_greedy_matches_slow(setup):
+    cfg, model, params, db = setup
+    dec = BeamDecoder(cfg, DecodeConfig(maxlen=5))
+    fast = dec.greedy_batch(params, db)
+    slow = slow_greedy(model, params, db, PAD, SOS, maxlen=5)
+    for b in range(db.query.shape[0]):
+        want = []
+        for t in slow[b, 1:]:
+            if int(t) == EOS:
+                break
+            want.append(int(t))
+        assert fast[b] == want
+
+
+def test_beam_invalid_rows_skipped(setup):
+    cfg, model, params, db = setup
+    db2 = dataclasses.replace(db, valid=jnp.array([True, False, True]))
+    dec = BeamDecoder(cfg, DecodeConfig(maxlen=4, beam=2, nbest=2))
+    res = dec.beam_batch(params, db2)
+    assert len(res) == 2

@@ -1,0 +1,150 @@
+"""Full-stack end-to-end: train CLI -> generate CLI -> evaluate CLI on the
+tiny synthetic corpus (the run.sh stage 2-4 pipeline in-process)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("exp")
+    prefix = str(out / "mtn")
+    from mtn_tpu.cli.train import main as train_main
+    rc = train_main([
+        "--fea-type", *tiny_corpus.fea_types,
+        "--train-path", tiny_corpus.fea_path,
+        "--train-set", tiny_corpus.train_set,
+        "--valid-path", tiny_corpus.fea_path,
+        "--valid-set", tiny_corpus.valid_set,
+        "--include-caption", "caption,summary",
+        "--separate-caption", "1",
+        "--num-epochs", "2",
+        "--batch-size", "4",
+        "--max-length", "64",
+        "--model", prefix,
+        "--nb-blocks", "1",
+        "--d-model", "16",
+        "--d-ff", "32",
+        "--att-h", "2",
+        "--dropout", "0.1",
+        "--warmup-steps", "20",
+        "--cut-a", "1",
+        "--diff-encoder", "1",
+        "--auto-encoder-ft", "query",
+        "--vocab-cutoff", "0",
+        "--dtype", "float32",
+        "--length-bucket", "8",
+        "--feature-bucket", "4",
+        "--report-interval", "2",
+    ])
+    assert rc == 0
+    return tiny_corpus, prefix
+
+
+def test_train_artifacts(trained):
+    corpus, prefix = trained
+    assert os.path.exists(prefix + ".conf.json")
+    assert os.path.exists(prefix + ".vocab.json")
+    assert os.path.exists(prefix + "_params.txt")
+    train_csv = open(prefix + "_train.csv").read().splitlines()
+    assert train_csv[0] == "epoch,step,loss,tokens_per_sec"
+    assert len(train_csv) > 1
+    trace = open(prefix + "_trace.csv").read().splitlines()
+    # 2 epochs x (train + val)
+    assert len(trace) == 5
+    meta = json.load(open(os.path.join(prefix + "_ckpt", "meta.json")))
+    assert set(meta["epochs"]) == {1, 2}
+    assert meta["best_epoch"] in (1, 2)
+
+
+def test_generate_and_evaluate(trained, tmp_path):
+    corpus, prefix = trained
+    result_path = str(tmp_path / "result.json")
+    from mtn_tpu.cli.generate import main as gen_main
+    rc = gen_main([
+        "--test-path", corpus.fea_path,
+        "--test-set", corpus.test_set,
+        "--model", prefix + "_best",
+        "--beam", "3",
+        "--penalty", "1.0",
+        "--nbest", "3",
+        "--maxlen", "8",
+        "--output", result_path,
+        "--decode-style", "beam_search",
+        "--undisclosed-only", "1",
+        "--labeled-test", corpus.lbl_test_set,
+        "--turn-batch", "4",
+        "--dtype", "float32",
+    ])
+    assert rc == 0
+    result = json.load(open(result_path))
+    raw = json.load(open(corpus.test_set))
+    assert len(result["dialogs"]) == len(raw["dialogs"])
+    for d in result["dialogs"]:
+        assert len(d["dialog"]) == 1  # undisclosed: final turn only
+        assert isinstance(d["dialog"][0]["answer"], str)
+        assert d["dialog"][0]["answer"] != "__UNDISCLOSED__"
+
+    # stage 4: convert + score (references: last turn of the labeled set)
+    from mtn_tpu.cli.evaluate import main as eval_main
+    ref_path = str(tmp_path / "ref.json")
+    hyp_path = str(tmp_path / "hyp.json")
+    assert eval_main(["annotation", "--last", corpus.lbl_test_set,
+                      ref_path]) == 0
+    assert eval_main(["hypotheses", result_path, hyp_path]) == 0
+    ref = json.load(open(ref_path))
+    hyp = json.load(open(hyp_path))
+    assert len(ref["annotations"]) == len(hyp)
+    from mtn_tpu.evalmetrics import score_files
+    scores = score_files(ref_path, hyp_path, print_scores=False)
+    for k in ("Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
+        assert k in scores and np.isfinite(scores[k])
+
+
+def test_generate_greedy_style(trained, tmp_path):
+    corpus, prefix = trained
+    result_path = str(tmp_path / "result_greedy.json")
+    from mtn_tpu.cli.generate import main as gen_main
+    rc = gen_main([
+        "--test-path", corpus.fea_path,
+        "--test-set", corpus.test_set,
+        "--model", prefix + "_best",
+        "--maxlen", "6",
+        "--output", result_path,
+        "--decode-style", "greedy",
+        "--undisclosed-only", "1",
+        "--turn-batch", "4",
+        "--dtype", "float32",
+    ])
+    assert rc == 0
+    assert os.path.exists(result_path)
+
+
+def test_resume_training(trained):
+    corpus, prefix = trained
+    from mtn_tpu.cli.train import main as train_main
+    rc = train_main([
+        "--fea-type", *corpus.fea_types,
+        "--train-path", corpus.fea_path,
+        "--train-set", corpus.train_set,
+        "--valid-path", corpus.fea_path,
+        "--valid-set", corpus.valid_set,
+        "--include-caption", "caption,summary",
+        "--separate-caption", "1",
+        "--num-epochs", "3",
+        "--batch-size", "4",
+        "--max-length", "64",
+        "--model", prefix,
+        "--nb-blocks", "1", "--d-model", "16", "--d-ff", "32",
+        "--att-h", "2", "--warmup-steps", "20",
+        "--diff-encoder", "1", "--auto-encoder-ft", "query",
+        "--vocab-cutoff", "0", "--dtype", "float32",
+        "--length-bucket", "8", "--feature-bucket", "4",
+        "--resume", "latest",
+    ])
+    assert rc == 0
+    meta = json.load(open(os.path.join(prefix + "_ckpt", "meta.json")))
+    assert 3 in meta["epochs"]

@@ -1,0 +1,182 @@
+"""Model structure + the critical cache-consistency tests.
+
+The cached single-step decoder (init_decode_state/decode_step) must
+produce bit-for-bit (up to float tolerance) the same log-probs as the
+full training-style forward over the prefix — this validates the KV
+caches, the precomputed AE chain, and the cross-attention caches.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mtn_tpu.config import ModelConfig, TrainConfig
+from mtn_tpu.models.mtn import MTN
+from mtn_tpu.train.batch import batch_masks, device_batch
+from mtn_tpu.train.trainer import Trainer
+from tests.fixtures import tiny_model_cfg
+from tests.slow_reference import full_forward_logp
+
+PAD, SOS = 1, 2
+
+
+def _random_batch(rng, B=2, Lq=5, Lh=7, Lc=6, La=4, ft_dims=(12, 8),
+                  T=(5, 4), vocab=30):
+    from mtn_tpu.data.batching import HostBatch
+    def toks(L):
+        arr = rng.integers(4, vocab, size=(B, L)).astype(np.int32)
+        arr[:, 0] = SOS
+        return arr
+    hb = HostBatch(
+        query=toks(Lq), his=toks(Lh), answer_in=toks(La),
+        answer_out=np.concatenate(
+            [toks(La)[:, 1:], np.full((B, 1), 3, np.int32)], axis=1),
+        cap=toks(Lc),
+        fts=[rng.standard_normal((B, t, d)).astype(np.float32)
+             for t, d in zip(T, ft_dims)],
+        fts_len=[np.full((B,), t, np.int32) for t in T],
+        valid=np.ones((B,), bool), qa_ids=list(range(B)))
+    return device_batch(hb)
+
+
+@pytest.mark.parametrize("ae_ft,diff_encoder,diff_embed,diff_gen", [
+    ("query", True, False, False),    # canonical run.sh config
+    ("query", False, False, False),   # shared AE seed from query memory
+    ("caption", True, True, True),    # swapped attn order + diff variants
+])
+def test_cached_decode_matches_full_forward(ae_ft, diff_encoder, diff_embed,
+                                            diff_gen):
+    rng = np.random.default_rng(0)
+    db = _random_batch(rng)
+    cfg = tiny_model_cfg(30, (12, 8), auto_encoder_ft=ae_ft,
+                         diff_encoder=diff_encoder, diff_embed=diff_embed,
+                         diff_gen=diff_gen, dropout=0.0)
+    model = MTN(cfg)
+    masks, tgt_mask = batch_masks(db, PAD)
+    params = model.init({"params": jax.random.PRNGKey(0)}, db.query, db.his,
+                        db.cap, db.fts, masks, db.answer_in, tgt_mask,
+                        method=MTN.init_all)["params"]
+    maxlen = 5
+    state = model.apply({"params": params}, db.query, db.his, db.cap, db.fts,
+                        masks, method=MTN.init_decode_state)
+    self_kv = model.apply({"params": params}, method=MTN.init_self_kv,
+                          batch_size=db.query.shape[0], maxlen=maxlen)
+    prefix = np.full((db.query.shape[0], 1), SOS, np.int32)
+    for pos in range(maxlen):
+        logp, self_kv = model.apply(
+            {"params": params}, state, jnp.asarray(prefix[:, -1]), pos,
+            self_kv, method=MTN.decode_step)
+        ref = full_forward_logp(model, params, db, PAD, prefix)
+        np.testing.assert_allclose(np.asarray(logp), ref, atol=2e-4,
+                                   err_msg=f"pos={pos}")
+        nxt = np.argmax(ref, axis=-1).astype(np.int32)
+        prefix = np.concatenate([prefix, nxt[:, None]], axis=1)
+
+
+def test_text_only_no_features():
+    """Config 1 of BASELINE.json: no video streams at all."""
+    rng = np.random.default_rng(1)
+    from mtn_tpu.data.batching import HostBatch
+    B = 2
+    hb = HostBatch(
+        query=rng.integers(4, 30, (B, 5)).astype(np.int32),
+        his=rng.integers(4, 30, (B, 6)).astype(np.int32),
+        answer_in=rng.integers(4, 30, (B, 4)).astype(np.int32),
+        answer_out=rng.integers(4, 30, (B, 4)).astype(np.int32),
+        cap=None, fts=[], fts_len=[], valid=np.ones((B,), bool))
+    db = device_batch(hb)
+    cfg = tiny_model_cfg(30, (), diff_encoder=False, auto_encoder_ft="query",
+                         dropout=0.0)
+    tr = Trainer(cfg, TrainConfig(warmup_steps=10))
+    st = tr.init_state(jax.random.PRNGKey(0), db)
+    st, m = tr.train_step(st, db, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_param_structure_matches_reference_inventory():
+    cfg = tiny_model_cfg(30, (12, 8), diff_encoder=True)
+    model = MTN(cfg)
+    rng = np.random.default_rng(0)
+    db = _random_batch(rng)
+    masks, tgt_mask = batch_masks(db, PAD)
+    params = model.init({"params": jax.random.PRNGKey(0)}, db.query, db.his,
+                        db.cap, db.fts, masks, db.answer_in, tgt_mask,
+                        method=MTN.init_all)["params"]
+    enc = params["encoder"]
+    # diff_encoder: 3 + 2*s norms (mtn.py:368-371)
+    assert set(enc.keys()) == {"norm_query", "norm_vid_0", "norm_vid_1",
+                               "norm_cap", "norm_his", "norm_ae_0",
+                               "norm_ae_1"}
+    layer = params["decoder"]["layer_0"]
+    # 5 + 4*s sublayers (mtn.py:179)
+    subs = [k for k in layer if k.startswith("sl_")]
+    assert len(subs) == 5 + 4 * 2
+    # per-stream AE modules exist
+    for i in range(2):
+        for mod in (f"ae_self_attn_{i}", f"ae_vid_attn_{i}", f"ae_attn_{i}",
+                    f"ae_ff_{i}"):
+            assert mod in layer
+
+
+def test_dropout_changes_output_and_eval_is_deterministic():
+    rng = np.random.default_rng(0)
+    db = _random_batch(rng)
+    cfg = tiny_model_cfg(30, (12, 8), dropout=0.3)
+    tr = Trainer(cfg, TrainConfig(warmup_steps=10))
+    st = tr.init_state(jax.random.PRNGKey(0), db)
+    m1 = tr.eval_step(st.params, db)
+    m2 = tr.eval_step(st.params, db)
+    assert float(m1["loss"]) == float(m2["loss"])
+    # two different dropout rngs give different training losses
+    l1 = tr._loss_fn(st.params, db, jax.random.PRNGKey(1), False)[0]
+    l2 = tr._loss_fn(st.params, db, jax.random.PRNGKey(2), False)[0]
+    assert float(l1) != float(l2)
+
+
+def test_padded_rows_do_not_change_loss():
+    """Static-shape batch padding must be loss-invariant (the Noam step
+    count, and so metric parity, depends on it — SURVEY.md §7)."""
+    rng = np.random.default_rng(3)
+    db_small = _random_batch(rng, B=2)
+    cfg = tiny_model_cfg(30, (12, 8), dropout=0.0)
+    tr = Trainer(cfg, TrainConfig(warmup_steps=10))
+    st = tr.init_state(jax.random.PRNGKey(0), db_small)
+    loss_small = float(tr.eval_step(st.params, db_small)["loss"])
+    # pad with 2 all-blank rows
+    import jax.numpy as jnp
+    def pad_rows(x):
+        if x.ndim == 0 or x.shape[0] != 2:
+            return x
+        if x.dtype == jnp.int32:
+            fill = jnp.full((2,) + x.shape[1:], PAD, x.dtype)
+        elif x.dtype == bool:
+            fill = jnp.zeros((2,) + x.shape[1:], x.dtype)
+        else:
+            fill = jnp.zeros((2,) + x.shape[1:], x.dtype)
+        return jnp.concatenate([x, fill], axis=0)
+    db_big = jax.tree.map(pad_rows, db_small)
+    loss_big = float(tr.eval_step(st.params, db_big)["loss"])
+    np.testing.assert_allclose(loss_big, loss_small, rtol=1e-5)
+
+
+def test_length_bucket_padding_does_not_change_loss():
+    rng = np.random.default_rng(4)
+    db = _random_batch(rng, B=2, Lq=5, La=4)
+    cfg = tiny_model_cfg(30, (12, 8), dropout=0.0)
+    tr = Trainer(cfg, TrainConfig(warmup_steps=10))
+    st = tr.init_state(jax.random.PRNGKey(0), db)
+    base = float(tr.eval_step(st.params, db)["loss"])
+    def pad_len(x, axis, extra):
+        pad_width = [(0, 0)] * x.ndim
+        pad_width[axis] = (0, extra)
+        const = PAD if x.dtype == jnp.int32 else 0
+        return jnp.pad(x, pad_width, constant_values=const)
+    import dataclasses
+    db2 = dataclasses.replace(
+        db, query=pad_len(db.query, 1, 3), his=pad_len(db.his, 1, 2),
+        cap=pad_len(db.cap, 1, 5), answer_in=pad_len(db.answer_in, 1, 2),
+        answer_out=pad_len(db.answer_out, 1, 2),
+        fts=tuple(pad_len(f, 1, 3) for f in db.fts))
+    padded = float(tr.eval_step(st.params, db2)["loss"])
+    np.testing.assert_allclose(padded, base, rtol=1e-5)

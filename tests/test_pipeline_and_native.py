@@ -1,0 +1,144 @@
+"""Prefetching pipeline, native C++ loader, checkpointing, logging."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from mtn_tpu.config import DataConfig, TrainConfig
+from mtn_tpu.data import get_vocabulary, load, make_batch_indices
+from mtn_tpu.data.pipeline import BatchIterator, shuffled
+
+
+@pytest.fixture(scope="module")
+def ds(tiny_corpus):
+    v = get_vocabulary(tiny_corpus.train_set, cutoff=0,
+                       include_caption="caption,summary")
+    return load(tiny_corpus.fea_types, tiny_corpus.fea_path,
+                tiny_corpus.train_set, v, include_caption="caption,summary",
+                separate_caption=True)
+
+
+def _cfg(**kw):
+    d = dict(batch_size=4, separate_caption=True, length_bucket=8,
+             feature_bucket=4, prefetch=2)
+    d.update(kw)
+    return DataConfig(**d)
+
+
+def test_prefetch_iterator_matches_sync(ds):
+    plans, _ = make_batch_indices(ds, 4, 64, separate_caption=True)
+    sync = list(BatchIterator(ds, plans, _cfg(cut_a=False), train=False,
+                              prefetch=0))
+    pre = list(BatchIterator(ds, plans, _cfg(cut_a=False), train=False,
+                             prefetch=2))
+    assert len(sync) == len(pre) == len(plans)
+    for a, b in zip(sync, pre):
+        np.testing.assert_array_equal(a.query, b.query)
+        np.testing.assert_array_equal(a.his, b.his)
+        for fa, fb in zip(a.fts, b.fts):
+            np.testing.assert_array_equal(fa, fb)
+
+
+def test_shuffled_preserves_set(ds):
+    plans, _ = make_batch_indices(ds, 4, 64, separate_caption=True)
+    sh = shuffled(plans, np.random.default_rng(0))
+    assert sorted(id(p) for p in sh) == sorted(id(p) for p in plans)
+
+
+def test_native_loader_matches_numpy(tiny_corpus):
+    from mtn_tpu.data import native_loader as nl
+    if not nl.available():
+        pytest.skip("native loader not built")
+    root = tiny_corpus.root
+    ftype = tiny_corpus.fea_types[0]
+    paths = sorted(str(p) for p in (root / ftype).glob("*.npy"))[:4]
+    out, lens = nl.load_batch(paths, max_frames=16, skip=1)
+    for i, p in enumerate(paths):
+        a = np.load(p)
+        assert lens[i] == a.shape[0]
+        np.testing.assert_allclose(out[i, : a.shape[0]], a)
+        assert (out[i, a.shape[0]:] == 0).all()
+    out2, lens2 = nl.load_batch(paths, max_frames=16, skip=3)
+    for i, p in enumerate(paths):
+        a = np.load(p)[::3]
+        assert lens2[i] == a.shape[0]
+        np.testing.assert_allclose(out2[i, : a.shape[0]], a)
+    # shape probe parity with header reader
+    from mtn_tpu.data.features import get_npy_shape
+    assert nl.npy_shape(paths[0]) == tuple(get_npy_shape(paths[0]))
+
+
+def test_native_vs_python_feature_path(ds, tiny_corpus):
+    from mtn_tpu.data import native_loader as nl
+    if not nl.available():
+        pytest.skip("native loader not built")
+    from mtn_tpu.data.features import load_features
+    vids = [t.vid for t in ds.turns[:3]]
+    native = load_features(ds.features, vids, [16, 16], [1, 1],
+                           use_native=True)
+    python = load_features(ds.features, vids, [16, 16], [1, 1],
+                           use_native=False)
+    for a, b in zip(native[0], python[0]):
+        np.testing.assert_allclose(a, b)
+    for a, b in zip(native[1], python[1]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_roundtrip_and_best(tmp_path, ds):
+    from mtn_tpu.data.batching import make_batch
+    from mtn_tpu.train.batch import device_batch
+    from mtn_tpu.train.trainer import Trainer
+    from mtn_tpu.utils.checkpoint import CheckpointManager
+    from tests.fixtures import tiny_model_cfg
+    plans, _ = make_batch_indices(ds, 4, 64, separate_caption=True)
+    db = device_batch(make_batch(ds, plans[0], separate_caption=True))
+    cfg = tiny_model_cfg(len(ds.vocab), ds.feature_dims(), dropout=0.0)
+    tr = Trainer(cfg, TrainConfig(warmup_steps=10))
+    st = tr.init_state(jax.random.PRNGKey(0), db)
+    st, _ = tr.train_step(st, db, jax.random.PRNGKey(1))
+
+    prefix = str(tmp_path / "m")
+    ckpt = CheckpointManager(prefix)
+    ckpt.save_conf(ds.vocab, model=cfg)
+    ckpt.save(1, st, val_loss=5.0)
+    st2, _ = tr.train_step(st, db, jax.random.PRNGKey(1))
+    ckpt.save(2, st2, val_loss=4.0)
+    ckpt.save(3, st2, val_loss=6.0)
+    assert ckpt.best_epoch() == 2
+    assert ckpt.latest_epoch() == 3
+
+    restored, ep = ckpt.restore(st, "best")
+    assert ep == 2
+    assert int(restored.step) == int(st2.step)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(st2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    vocab, conf = ckpt.load_conf()
+    assert vocab == ds.vocab
+    assert conf["model"]["d_model"] == cfg.d_model
+    # resumed training continues deterministically
+    st3, m3 = tr.train_step(restored, db, jax.random.PRNGKey(1))
+    st4, m4 = tr.train_step(st2, db, jax.random.PRNGKey(1))
+    assert float(m3["loss"]) == pytest.approx(float(m4["loss"]), rel=1e-6)
+
+
+def test_trace_logger_schema(tmp_path):
+    from mtn_tpu.utils.logging import TraceLogger, dump_params_txt
+    prefix = str(tmp_path / "m")
+    logs = TraceLogger(prefix)
+    logs.train_step(1, 100, 5.0, 1234.5)
+    logs.epoch(1, "train", 5.0)
+    logs.epoch(1, "val", 4.5)
+    train_lines = open(prefix + "_train.csv").read().splitlines()
+    assert train_lines[0] == "epoch,step,loss,tokens_per_sec"
+    assert train_lines[1].startswith("1,100,5.0")
+    trace_lines = open(prefix + "_trace.csv").read().splitlines()
+    assert trace_lines[0] == "epoch,split,avg_loss"
+    assert trace_lines[1].startswith("1,train,")
+    recs = [json.loads(l) for l in open(prefix + "_metrics.jsonl")]
+    assert recs[0]["kind"] == "train_step"
+    dump_params_txt(prefix + "_params.txt", {"a": 1, "b": "x"})
+    assert "a=1" in open(prefix + "_params.txt").read()
