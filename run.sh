@@ -58,7 +58,7 @@ report_interval=100
 dtype=bfloat16
 mesh_data=-1
 mesh_model=1
-turn_batch=16
+turn_batch=32
 length_bucket=32
 feature_bucket=32
 use_pallas_attention=0
