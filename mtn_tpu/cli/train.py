@@ -56,7 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="keep words with freq > cutoff "
                              "(reference effective value: 5)")
     parser.add_argument("--resume", default=None, type=str,
-                        help="resume from checkpoint: 'latest'|'best'|epoch")
+                        help="resume from checkpoint: 'latest'|'best'|epoch|"
+                             "'auto' (latest if one exists, else fresh)")
     parser.add_argument("--keep-checkpoints", default=0, type=int)
     add_tpu_args(parser)
     add_logging_args(parser)
@@ -160,8 +161,11 @@ def main(argv=None):
         sample = shardings.put_batch(sample)
     state = trainer.init_state(rng, sample)
     start_epoch = 0
-    if args.resume:
-        state, ep = ckpt.restore(state, args.resume)
+    resume = args.resume
+    if resume == "auto":
+        resume = "latest" if ckpt.latest_epoch() is not None else None
+    if resume:
+        state, ep = ckpt.restore(state, resume)
         start_epoch = int(ep)
         logging.info("Resumed from epoch %d (step %d)", start_epoch,
                      int(state.step))

@@ -1,0 +1,54 @@
+"""Serving session: checkpoint -> interactive responses."""
+
+import numpy as np
+import pytest
+
+
+def test_serving_session_from_trained_checkpoint(tiny_corpus,
+                                                 tmp_path_factory):
+    out = tmp_path_factory.mktemp("serve_exp")
+    prefix = str(out / "mtn")
+    from mtn_tpu.cli.train import main as train_main
+    rc = train_main([
+        "--fea-type", *tiny_corpus.fea_types,
+        "--train-path", tiny_corpus.fea_path,
+        "--train-set", tiny_corpus.train_set,
+        "--valid-path", tiny_corpus.fea_path,
+        "--valid-set", tiny_corpus.valid_set,
+        "--include-caption", "caption,summary",
+        "--separate-caption", "1",
+        "--num-epochs", "1", "--batch-size", "4", "--max-length", "64",
+        "--model", prefix, "--nb-blocks", "1", "--d-model", "16",
+        "--d-ff", "32", "--att-h", "2", "--warmup-steps", "20",
+        "--diff-encoder", "1", "--auto-encoder-ft", "query",
+        "--vocab-cutoff", "0", "--dtype", "float32",
+        "--length-bucket", "8", "--feature-bucket", "4",
+    ])
+    assert rc == 0
+
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import Request, ServingSession
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2))
+    rng = np.random.default_rng(0)
+    feats = {ft: rng.standard_normal((5, d)).astype(np.float32)
+             for ft, d in zip(tiny_corpus.fea_types, tiny_corpus.ft_dims)}
+    ans = session.respond(
+        question="are there any people in the video ?",
+        history=[("what is he doing ?", "he sits on the couch")],
+        caption="a man sits on a couch reading a book",
+        features=feats)
+    assert isinstance(ans, str)
+    # batched requests with shared compiled shapes
+    reqs = [Request(question="what is the person doing ?",
+                    caption="a dog walks", features=feats)
+            for _ in range(3)]
+    outs = session.respond_batch(reqs)
+    assert len(outs) == 3
+    assert all(isinstance(a, str) and isinstance(s, float)
+               for a, s in outs)
+    # identical requests give identical answers (deterministic decode)
+    assert outs[0][0] == outs[1][0]
+    # works without features (zero-filled streams)
+    ans2 = session.respond(question="is it raining ?")
+    assert isinstance(ans2, str)
