@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="resume from checkpoint: 'latest'|'best'|epoch|"
                              "'auto' (latest if one exists, else fresh)")
     parser.add_argument("--keep-checkpoints", default=0, type=int)
+    parser.add_argument("--checkpoint-every-steps", default=0, type=int,
+                        help="also save a rotating step-indexed checkpoint "
+                             "every N train steps (resume with "
+                             "--resume step)")
     add_tpu_args(parser)
     add_logging_args(parser)
     return parser
@@ -164,7 +168,12 @@ def main(argv=None):
     resume = args.resume
     if resume == "auto":
         resume = "latest" if ckpt.latest_epoch() is not None else None
-    if resume:
+    if resume == "step":
+        state, ep = ckpt.restore_step(state)
+        start_epoch = int(ep)  # interrupted epoch restarts (documented)
+        logging.info("Resumed step checkpoint (step %d, epoch %d)",
+                     int(state.step), start_epoch)
+    elif resume:
         state, ep = ckpt.restore(state, resume)
         start_epoch = int(ep)
         logging.info("Resumed from epoch %d (step %d)", start_epoch,
@@ -185,7 +194,10 @@ def main(argv=None):
                 report_fn=lambda step, loss, tps: (
                     print("Epoch: %d Step: %d Loss: %f Tokens per Sec: %f"
                           % (epoch + 1, step, loss, tps)),
-                    logs.train_step(epoch + 1, step, loss, tps)))
+                    logs.train_step(epoch + 1, step, loss, tps)),
+                step_callback=(lambda st, j, e=epoch:
+                               ckpt.save_step(st, e)),
+                step_callback_every=args.checkpoint_every_steps)
             logging.info("epoch: %d  train loss: %f", epoch + 1, train_loss)
             logging.info("-------validation--------")
             vit = BatchIterator(valid_data, valid_plans, data_cfg,

@@ -129,7 +129,9 @@ class Trainer:
     # -- epoch loops (reference run_epoch, train.py:22-52) ------------------
     def run_epoch(self, state: TrainState, batches, base_rng=None,
                   train: bool = True,
-                  report_fn: Optional[Callable[[int, float, float], None]] = None
+                  report_fn: Optional[Callable[[int, float, float], None]] = None,
+                  step_callback: Optional[Callable[[TrainState, int], None]] = None,
+                  step_callback_every: int = 0
                   ) -> Tuple[TrainState, float]:
         """Returns (state, epoch average loss per token)."""
         import time
@@ -154,4 +156,7 @@ class Trainer:
                 report_fn(j + 1, loss_x / ntok, tokens / elapsed)
                 start = time.time()
                 tokens = 0.0
+            if train and step_callback and step_callback_every > 0 and \
+                    (j + 1) % step_callback_every == 0:
+                step_callback(state, j + 1)
         return state, total_loss / max(total_tokens, 1.0)

@@ -73,6 +73,38 @@ class CheckpointManager:
                 return json.load(f)
         return {}
 
+    def save_step(self, state: TrainState, epoch: int):
+        """Step-indexed mid-epoch checkpoint (single rotating slot).
+
+        The reference can only restart whole trainings (SURVEY §5). Resume
+        semantics: params/opt_state/step are exact; the interrupted epoch's
+        batch iteration restarts from its beginning (a documented trade-off
+        to avoid persisting the host-side shuffle iterator).
+        """
+        path = os.path.join(self.dir, "step_latest")
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        self._ckptr.save(tmp, state)
+        self._ckptr.wait_until_finished()
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        meta = self._meta()
+        meta["step"] = int(state.step)
+        meta["step_epoch"] = epoch
+        with open(self._meta_path, "w") as f:
+            json.dump(meta, f)
+
+    def restore_step(self, abstract_state: TrainState):
+        """Returns (state, epoch_of_interruption) or raises."""
+        path = os.path.join(self.dir, "step_latest")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no step checkpoint under {self.dir}")
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
+        state = self._ckptr.restore(path, target)
+        return state, self._meta().get("step_epoch", 0)
+
     def best_epoch(self):
         return self._meta().get("best_epoch")
 

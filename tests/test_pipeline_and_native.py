@@ -142,3 +142,27 @@ def test_trace_logger_schema(tmp_path):
     assert recs[0]["kind"] == "train_step"
     dump_params_txt(prefix + "_params.txt", {"a": 1, "b": "x"})
     assert "a=1" in open(prefix + "_params.txt").read()
+
+
+def test_step_checkpoint_roundtrip(tmp_path, ds):
+    from mtn_tpu.data.batching import make_batch
+    from mtn_tpu.data import make_batch_indices
+    from mtn_tpu.train.batch import device_batch
+    from mtn_tpu.train.trainer import Trainer
+    from mtn_tpu.utils.checkpoint import CheckpointManager
+    from tests.fixtures import tiny_model_cfg
+    plans, _ = make_batch_indices(ds, 4, 64, separate_caption=True)
+    db = device_batch(make_batch(ds, plans[0], separate_caption=True))
+    cfg = tiny_model_cfg(len(ds.vocab), ds.feature_dims(), dropout=0.0)
+    tr = Trainer(cfg, TrainConfig(warmup_steps=10))
+    st = tr.init_state(jax.random.PRNGKey(0), db)
+    for _ in range(3):
+        st, _ = tr.train_step(st, db, jax.random.PRNGKey(1))
+    ckpt = CheckpointManager(str(tmp_path / "m"))
+    ckpt.save_step(st, epoch=2)
+    ckpt.save_step(st, epoch=2)  # rotating slot: second save overwrites
+    restored, ep = ckpt.restore_step(st)
+    assert ep == 2 and int(restored.step) == 3
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(st.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
