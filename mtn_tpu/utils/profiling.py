@@ -37,14 +37,20 @@ def enable_nan_checks(enable: bool = True):
     jax.config.update("jax_debug_nans", enable)
 
 
-def checkify_fn(fn: Callable):
-    """Wrap a jittable fn with checkify error accumulation (float checks)."""
+def checkify_fn(fn: Callable, jit: bool = True):
+    """Wrap a jittable fn with checkify float checks (NaN/inf/OOB).
+
+    The checkified fn is jitted internally; the error is raised host-side
+    after each call — so do NOT wrap the result in jax.jit again.
+    """
     from jax.experimental import checkify
     checked = checkify.checkify(fn, errors=checkify.float_checks)
+    if jit:
+        checked = jax.jit(checked)
 
     def wrapper(*args, **kw):
         err, out = checked(*args, **kw)
-        checkify.check_error(err)
+        err.throw()
         return out
 
     return wrapper

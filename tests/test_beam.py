@@ -82,3 +82,26 @@ def test_beam_invalid_rows_skipped(setup):
     dec = BeamDecoder(cfg, DecodeConfig(maxlen=4, beam=2, nbest=2))
     res = dec.beam_batch(params, db2)
     assert len(res) == 2
+
+
+def test_min_len_suppresses_early_eos(setup):
+    cfg, model, params, db = setup
+    early = BeamDecoder(cfg, DecodeConfig(maxlen=5, beam=2, nbest=1,
+                                          min_len=1))
+    late = BeamDecoder(cfg, DecodeConfig(maxlen=5, beam=2, nbest=1,
+                                         min_len=4))
+    r_early = early.beam_batch(params, db)
+    r_late = late.beam_batch(params, db)
+    for a, b in zip(r_early, r_late):
+        assert len(b.tokens[0]) >= 4  # completions only recorded at l>=4
+        assert len(a.tokens[0]) >= 1
+
+
+def test_maxlen_one(setup):
+    cfg, model, params, db = setup
+    dec = BeamDecoder(cfg, DecodeConfig(maxlen=1, beam=2, nbest=2,
+                                        min_len=0))
+    res = dec.beam_batch(params, db)
+    # at l=0 with min_len=0 the only completion is the empty hypothesis
+    for r in res:
+        assert r.tokens[0] == []

@@ -148,3 +148,46 @@ def test_resume_training(trained):
     assert rc == 0
     meta = json.load(open(os.path.join(prefix + "_ckpt", "meta.json")))
     assert 3 in meta["epochs"]
+
+
+def test_graft_entry_dryrun_multichip():
+    """The driver's multichip dry-run must stay green on the fake mesh."""
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_text_only_cli_pipeline(tiny_corpus, tmp_path):
+    """--fea-type none end-to-end (BASELINE config 1 at the CLI surface;
+    the reference crashes on this path, SURVEY C9/make_model)."""
+    prefix = str(tmp_path / "mtn_text")
+    from mtn_tpu.cli.train import main as train_main
+    rc = train_main([
+        "--fea-type", "none",
+        "--train-set", tiny_corpus.train_set,
+        "--valid-set", tiny_corpus.valid_set,
+        "--include-caption", "caption,summary",
+        "--separate-caption", "1",
+        "--num-epochs", "1", "--batch-size", "4", "--max-length", "64",
+        "--model", prefix, "--nb-blocks", "1", "--d-model", "16",
+        "--d-ff", "32", "--att-h", "2", "--warmup-steps", "20",
+        "--diff-encoder", "0", "--auto-encoder-ft", "query",
+        "--vocab-cutoff", "0", "--dtype", "float32",
+        "--length-bucket", "8",
+    ])
+    assert rc == 0
+    result_path = str(tmp_path / "res.json")
+    from mtn_tpu.cli.generate import main as gen_main
+    rc = gen_main([
+        "--test-set", tiny_corpus.test_set,
+        "--model", prefix + "_best",
+        "--maxlen", "6", "--beam", "2", "--nbest", "2",
+        "--output", result_path,
+        "--decode-style", "beam_search",
+        "--undisclosed-only", "1",
+        "--turn-batch", "4", "--dtype", "float32",
+    ])
+    assert rc == 0
+    import json as _json
+    result = _json.load(open(result_path))
+    assert all(isinstance(d["dialog"][0]["answer"], str)
+               for d in result["dialogs"])

@@ -166,3 +166,28 @@ def test_step_checkpoint_roundtrip(tmp_path, ds):
     for a, b in zip(jax.tree.leaves(restored.params),
                     jax.tree.leaves(st.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_profiler_trace_smoke(tmp_path):
+    from mtn_tpu.utils import profiling
+    import jax.numpy as jnp
+    with profiling.trace(str(tmp_path / "trace")):
+        with profiling.step_annotation("train", 1):
+            _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    assert os.path.isdir(tmp_path / "trace")
+    t = profiling.Timer()
+    assert t.elapsed() >= 0.0
+
+
+def test_checkify_fn_catches_nan():
+    import jax
+    import jax.numpy as jnp
+    from mtn_tpu.utils.profiling import checkify_fn
+
+    def bad(x):
+        return jnp.log(x)  # nan for negative
+
+    wrapped = checkify_fn(bad)
+    assert np.isfinite(float(wrapped(jnp.asarray(2.0))))
+    with pytest.raises(Exception):
+        wrapped(jnp.asarray(-1.0))
