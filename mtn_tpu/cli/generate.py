@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--labeled-test", default=None, type=str)
     parser.add_argument("--turn-batch", default=16, type=int,
                         help="dialogue turns decoded per device batch")
+    parser.add_argument("--uniform-shapes", default=1, type=int,
+                        help="pad all decode batches to global maxima "
+                             "(one compiled program for the whole run)")
     add_tpu_args(parser)
     add_logging_args(parser)
     return parser
@@ -74,19 +77,56 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
     plans, n = make_batch_indices(dataset, batchsize=decode_cfg.turn_batch,
                                   max_length=10 ** 9,
                                   separate_caption=data_cfg.separate_caption)
+    if decode_cfg.uniform_shapes and plans:
+        # one compiled beam program for the whole run: pad every batch to
+        # the global maxima (bucket rounding then happens in make_batch)
+        import dataclasses as _dc
+        h = max(p.h_len for p in plans)
+        q = max(p.q_len for p in plans)
+        a = max(p.a_len for p in plans)
+        c = max(p.c_len for p in plans)
+        x = [max(p.x_len[i] for p in plans)
+             for i in range(len(plans[0].x_len))]
+        plans = [_dc.replace(p, h_len=h, q_len=q, a_len=a, c_len=c,
+                             x_len=list(x)) for p in plans]
     answers = {}
     scores = {}
     t0 = time.time()
-    for plan in plans:
-        hb = make_batch(dataset, plan,
+    if decode_cfg.decode_style == "beam_search":
+        # fully pipelined: a producer thread loads features, pads, and
+        # device_puts the next batches while the device decodes and the
+        # main thread drains finished results in order
+        import queue as _queue
+        import threading as _threading
+        q: "_queue.Queue" = _queue.Queue(maxsize=3)
+        err = []
+
+        def produce():
+            try:
+                for plan in plans:
+                    hb = make_batch(
+                        dataset, plan,
                         separate_caption=data_cfg.separate_caption,
                         skip=data_cfg.skip,
                         length_bucket=data_cfg.length_bucket,
                         feature_bucket=data_cfg.feature_bucket,
                         pad_rows_to=decode_cfg.turn_batch)
-        db = device_batch(hb)
-        if decode_cfg.decode_style == "beam_search":
-            results = decoder.beam_batch(params, db)
+                    q.put((plan, device_batch(hb, model_cfg.dtype)))
+            except BaseException as e:
+                err.append(e)
+            finally:
+                q.put(None)
+
+        _threading.Thread(target=produce, daemon=True).start()
+        in_flight = []
+        MAX_IN_FLIGHT = 8
+        t_first = [None]  # time of first finished batch (compile incl.)
+
+        def drain_one():
+            plan, raw, valid = in_flight.pop(0)
+            results = decoder.beam_results(raw, valid)  # blocks on device
+            if t_first[0] is None:
+                t_first[0] = time.time()
             for qa_id, res in zip(plan.qa_ids, results):
                 words = []
                 for tok in res.tokens[0]:
@@ -95,7 +135,35 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
                     words.append(vlist[tok])
                 answers[qa_id] = " ".join(words)
                 scores[qa_id] = res.scores[0]
-        else:
+
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            plan, db = item
+            in_flight.append((plan, decoder.beam_batch_raw(params, db),
+                              db.valid))
+            if len(in_flight) >= MAX_IN_FLIGHT:
+                drain_one()
+        while in_flight:
+            drain_one()
+        if err:
+            raise err[0]
+        if t_first[0] is not None:
+            steady = time.time() - t_first[0]
+            logging.info(
+                "first batch (incl. compile) after %.1fs; steady-state "
+                "%.2f responses/sec", t_first[0] - t0,
+                max(n - decode_cfg.turn_batch, 0) / max(steady, 1e-9))
+    else:
+        for plan in plans:
+            hb = make_batch(dataset, plan,
+                            separate_caption=data_cfg.separate_caption,
+                            skip=data_cfg.skip,
+                            length_bucket=data_cfg.length_bucket,
+                            feature_bucket=data_cfg.feature_bucket,
+                            pad_rows_to=decode_cfg.turn_batch)
+            db = device_batch(hb, model_cfg.dtype)
             toks = decoder.greedy_batch(params, db)
             for qa_id, row in zip(plan.qa_ids, toks):
                 answers[qa_id] = " ".join(vlist[t] for t in row)
@@ -181,7 +249,8 @@ def main(argv=None):
         maxlen=args.maxlen, beam=args.beam, penalty=args.penalty,
         nbest=args.nbest, decode_style=args.decode_style,
         undisclosed_only=bool(args.undisclosed_only),
-        labeled_test=args.labeled_test, turn_batch=args.turn_batch)
+        labeled_test=args.labeled_test, turn_batch=args.turn_batch,
+        uniform_shapes=bool(args.uniform_shapes))
     ref_data = None
     if args.undisclosed_only and args.labeled_test:
         with open(args.labeled_test) as f:

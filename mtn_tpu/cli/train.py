@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="also save a rotating step-indexed checkpoint "
                              "every N train steps (resume with "
                              "--resume step)")
+    parser.add_argument("--uniform-shapes", default=0, type=int,
+                        help="pad every batch to the dataset's global "
+                             "maxima: ONE compiled train step (more padding "
+                             "compute, zero recompiles — useful when "
+                             "compiles are expensive)")
     add_tpu_args(parser)
     add_logging_args(parser)
     return parser
@@ -118,6 +123,19 @@ def main(argv=None):
                  len(train_plans))
     logging.info("#validation sample = %d  #validation batch = %d", n_valid,
                  len(valid_plans))
+    if args.uniform_shapes:
+        import dataclasses as _dc
+        all_plans = train_plans + valid_plans
+        h = max(p.h_len for p in all_plans)
+        q = max(p.q_len for p in all_plans)
+        a = max(p.a_len for p in all_plans)
+        c = max(p.c_len for p in all_plans)
+        x = [max(p.x_len[i] for p in all_plans)
+             for i in range(len(all_plans[0].x_len))]
+        fix = lambda ps: [_dc.replace(p, h_len=h, q_len=q, a_len=a, c_len=c,
+                                      x_len=list(x)) for p in ps]
+        train_plans, valid_plans = fix(train_plans), fix(valid_plans)
+        logging.info("uniform shapes: h=%d q=%d a=%d c=%d x=%s", h, q, a, c, x)
 
     model_cfg = ModelConfig(
         vocab_size=len(vocab), nb_blocks=args.nb_blocks,
@@ -138,7 +156,8 @@ def main(argv=None):
         merge_source=bool(args.merge_source), batch_size=args.batch_size,
         max_length=args.max_length, cut_a=bool(args.cut_a),
         vocab_cutoff=args.vocab_cutoff, length_bucket=args.length_bucket,
-        feature_bucket=args.feature_bucket, prefetch=args.prefetch)
+        feature_bucket=args.feature_bucket, prefetch=args.prefetch,
+        feature_dtype=args.dtype)
     train_cfg = TrainConfig(
         num_epochs=args.num_epochs, batch_size=args.batch_size,
         warmup_steps=args.warmup_steps, loss_l=args.loss_l,
@@ -146,7 +165,8 @@ def main(argv=None):
         model=args.model, keep_checkpoints=args.keep_checkpoints)
 
     mesh, shardings = make_mesh_from_args(args, batch_size=args.batch_size)
-    trainer = Trainer(model_cfg, train_cfg, mesh=mesh, shardings=shardings)
+    trainer = Trainer(model_cfg, train_cfg, mesh=mesh, shardings=shardings,
+                      feature_dtype=data_cfg.feature_dtype)
 
     os.makedirs(os.path.dirname(args.model) or ".", exist_ok=True)
     ckpt = CheckpointManager(args.model)
@@ -184,11 +204,18 @@ def main(argv=None):
     logging.info("----------------")
     min_valid_loss = float("inf")
     bestmodel_num = 0
+    from mtn_tpu.train.batch import device_batch as _device_batch
+    if shardings is not None:
+        to_device = lambda hb: shardings.put_batch(
+            _device_batch(hb, data_cfg.feature_dtype))
+    else:
+        to_device = lambda hb: _device_batch(hb, data_cfg.feature_dtype)
     base_rng = jax.random.PRNGKey(args.rand_seed + 1)
     with profiling.trace(args.profile_dir):
         for epoch in range(start_epoch, args.num_epochs):
             it = BatchIterator(train_data, shuffled(train_plans, np_rng),
-                               data_cfg, train=True, rng=np_rng)
+                               data_cfg, train=True, rng=np_rng,
+                               transform=to_device)
             state, train_loss = trainer.run_epoch(
                 state, it, base_rng, train=True,
                 report_fn=lambda step, loss, tps: (
@@ -201,7 +228,7 @@ def main(argv=None):
             logging.info("epoch: %d  train loss: %f", epoch + 1, train_loss)
             logging.info("-------validation--------")
             vit = BatchIterator(valid_data, valid_plans, data_cfg,
-                                train=False)
+                                train=False, transform=to_device)
             _, valid_loss = trainer.run_epoch(state, vit, train=False)
             logging.info("epoch: %d validation loss: %f", epoch + 1,
                          valid_loss)

@@ -69,6 +69,7 @@ class DataConfig:
     pad_batch_to_full: bool = True # pad batch dim to `batch_size` with masked rows
     prefetch: int = 2              # host-side prefetch depth (reference had none)
     use_native_loader: bool = True # C++ .npy reader if the library is built
+    feature_dtype: str = "float32" # 'bfloat16' halves host->device transfer
 
 
 @dataclass
@@ -102,6 +103,10 @@ class DecodeConfig:
     # TPU-specific: decode many dialogue turns per device batch (the reference
     # decodes at batch size 1, generate.py:146).
     turn_batch: int = 16
+    # Pad every decode batch to the test set's (bucket-rounded) global
+    # maxima so the whole decode runs ONE compiled program. Padding is
+    # compute-cheap on TPU; recompiles are not.
+    uniform_shapes: bool = True
 
 
 def _to_jsonable(obj: Any) -> Any:

@@ -186,13 +186,18 @@ class BeamDecoder:
         return jax.jit(greedy_fn)
 
     # ------------------------------------------------------------------
-    def beam_batch(self, params, batch: DeviceBatch) -> List[BeamResult]:
-        """Beam-decode every row; returns one BeamResult per *valid* row."""
+    def beam_batch_raw(self, params, batch: DeviceBatch):
+        """Dispatch the beam program asynchronously; returns device arrays
+        (fetch later with :meth:`beam_results`) so many batches can be in
+        flight while the host prepares the next inputs."""
         if self._beam_fn is None:
             self._beam_fn = self._build_beam()
-        comp_scores, comp_buf, comp_len = jax.device_get(
-            self._beam_fn(params, batch))
-        valid = np.asarray(batch.valid)
+        return self._beam_fn(params, batch)
+
+    def beam_results(self, raw, valid) -> List[BeamResult]:
+        """Fetch + convert one dispatched batch (blocks on the device)."""
+        comp_scores, comp_buf, comp_len = jax.device_get(raw)
+        valid = np.asarray(valid)
         results = []
         for b in range(comp_scores.shape[0]):
             if not valid[b]:
@@ -208,6 +213,11 @@ class BeamDecoder:
                 toks, scs = [[]], [0.0]
             results.append(BeamResult(tokens=toks, scores=scs))
         return results
+
+    def beam_batch(self, params, batch: DeviceBatch) -> List[BeamResult]:
+        """Beam-decode every row; returns one BeamResult per *valid* row."""
+        return self.beam_results(self.beam_batch_raw(params, batch),
+                                 batch.valid)
 
     def greedy_batch(self, params, batch: DeviceBatch) -> List[List[int]]:
         """Greedy-decode every row; tokens after <sos>, cut at <eos>."""

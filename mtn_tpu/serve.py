@@ -136,7 +136,8 @@ class ServingSession:
                       ) -> List[Tuple[str, float]]:
         hb = encode_requests(requests, self.model_cfg, self.data_cfg,
                              self.vocab, self._lb, self._fb)
-        results = self.decoder.beam_batch(self.params, device_batch(hb))
+        results = self.decoder.beam_batch(
+            self.params, device_batch(hb, self.model_cfg.dtype))
         out = []
         for res in results:
             words = []

@@ -34,16 +34,20 @@ class DeviceBatch:
     valid: jnp.ndarray       # (B,) bool
 
 
-def device_batch(hb: HostBatch) -> DeviceBatch:
+def device_batch(hb: HostBatch,
+                 feature_dtype: str = "float32") -> DeviceBatch:
     cap = hb.cap
     if cap is None:
         # all-<blank> single-column caption; its pad mask is all-False
         cap = np.ones((hb.query.shape[0], 1), dtype=np.int32)
+    fdt = jnp.dtype(feature_dtype) if feature_dtype != "float32" else None
+    fts = tuple(jnp.asarray(f if fdt is None else f.astype(fdt))
+                for f in hb.fts)  # ml_dtypes makes bf16 a valid numpy dtype
     return DeviceBatch(
         query=jnp.asarray(hb.query), his=jnp.asarray(hb.his),
         cap=jnp.asarray(cap), answer_in=jnp.asarray(hb.answer_in),
         answer_out=jnp.asarray(hb.answer_out),
-        fts=tuple(jnp.asarray(f) for f in hb.fts),
+        fts=fts,
         fts_len=tuple(jnp.asarray(l) for l in hb.fts_len),
         valid=jnp.asarray(hb.valid),
     )

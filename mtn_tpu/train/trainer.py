@@ -34,13 +34,15 @@ class TrainState:
 
 class Trainer:
     def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
-                 pad: int = SPECIALS[BLANK], mesh=None, shardings=None):
+                 pad: int = SPECIALS[BLANK], mesh=None, shardings=None,
+                 feature_dtype: str = "float32"):
         self.model = MTN(model_cfg)
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.pad = pad
         self.mesh = mesh
         self.shardings = shardings
+        self.feature_dtype = feature_dtype
         self.optimizer = make_optimizer(model_cfg.d_model,
                                         train_cfg.warmup_steps)
         self._train_step = None
@@ -141,7 +143,8 @@ class Trainer:
         start = time.time()
         interval = self.train_cfg.report_interval
         for j, hb in enumerate(batches):
-            batch = device_batch(hb)
+            batch = hb if isinstance(hb, DeviceBatch) \
+                else device_batch(hb, self.feature_dtype)
             if train:
                 state, metrics = self.train_step(state, batch, base_rng)
             else:

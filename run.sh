@@ -62,6 +62,8 @@ turn_batch=32
 length_bucket=32
 feature_bucket=32
 use_pallas_attention=0
+uniform_shapes_train=0  # 1: single compiled train step (pad to maxima)
+uniform_shapes_decode=1 # 1: single compiled beam program (pad to maxima)
 
 echo Stage $stage Exp ID $expid
 
@@ -143,7 +145,8 @@ if [ $stage -le 2 ]; then
       --mesh-model ${mesh_model} \
       --length-bucket ${length_bucket} \
       --feature-bucket ${feature_bucket} \
-      --use-pallas-attention ${use_pallas_attention}
+      --use-pallas-attention ${use_pallas_attention} \
+      --uniform-shapes ${uniform_shapes_train}
 fi
 
 # testing phase
@@ -172,7 +175,8 @@ if [ $stage -le 3 ]; then
           --labeled-test ${labeled_test} \
           --turn-batch ${turn_batch} \
           --dtype ${dtype} \
-          --use-pallas-attention ${use_pallas_attention}
+          --use-pallas-attention ${use_pallas_attention} \
+          --uniform-shapes ${uniform_shapes_decode}
     done
 fi
 
