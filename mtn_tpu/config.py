@@ -37,6 +37,7 @@ class ModelConfig:
     param_dtype: str = "float32"
     max_len: int = 5000           # positional-encoding table length (mtn.py:293)
     use_pallas_attention: bool = False  # fused Pallas MHA on TPU hot path
+    use_pallas_ffn: bool = False        # fused Pallas FFN on TPU hot path
 
     @property
     def n_streams(self) -> int:

@@ -141,28 +141,61 @@ class MultiHeadAttention(nn.Module):
         return self.attend_with_kv(q_in, k, v, mask, deterministic)
 
 
+class ParamLinear(nn.Module):
+    """Dense with directly accessible kernel/bias (same param paths as
+    nn.Dense) so fused Pallas ops can consume the raw weights."""
+
+    d_in: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                                 (self.d_in, self.features),
+                                 self.param_dtype)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,), self.param_dtype)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.dot(x.astype(self.dtype),
+                       self.kernel.astype(self.dtype)) \
+            + self.bias.astype(self.dtype)
+
+
 class FeedForward(nn.Module):
-    """FFN: Linear -> ReLU -> dropout -> Linear (mtn.py:269-280)."""
+    """FFN: Linear -> ReLU -> dropout -> Linear (mtn.py:269-280).
+
+    With ``use_pallas`` and no active dropout, runs the fused VMEM kernel
+    (mtn_tpu.ops.pallas_ffn) over the same parameters.
+    """
 
     d_model: int
     d_ff: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.w_1 = ParamLinear(self.d_model, self.d_ff, self.dtype,
+                               self.param_dtype, name="w_1")
+        self.w_2 = ParamLinear(self.d_ff, self.d_model, self.dtype,
+                               self.param_dtype, name="w_2")
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, x: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        h = nn.Dense(self.d_ff, dtype=self.dtype,
-                     param_dtype=self.param_dtype,
-                     kernel_init=nn.initializers.xavier_uniform(),
-                     name="w_1")(x)
-        h = nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.Dense(self.d_model, dtype=self.dtype,
-                        param_dtype=self.param_dtype,
-                        kernel_init=nn.initializers.xavier_uniform(),
-                        name="w_2")(h)
+        if self.use_pallas and (deterministic or self.dropout == 0.0):
+            from mtn_tpu.ops.pallas_ffn import fused_ffn
+            dt = self.dtype
+            return fused_ffn(x.astype(dt), self.w_1.kernel.astype(dt),
+                             self.w_1.bias.astype(dt),
+                             self.w_2.kernel.astype(dt),
+                             self.w_2.bias.astype(dt))
+        h = nn.relu(self.w_1(x))
+        h = self.drop(h, deterministic=deterministic)
+        return self.w_2(h)
 
 
 class Sublayer(nn.Module):

@@ -157,7 +157,9 @@ class DecoderLayer(nn.Module):
             cfg.att_h, cfg.d_model, dtype=dt, param_dtype=pt,
             use_pallas=cfg.use_pallas_attention, name=name)
         ffn = lambda name: FeedForward(cfg.d_model, cfg.d_ff, cfg.dropout,
-                                       dtype=dt, param_dtype=pt, name=name)
+                                       dtype=dt, param_dtype=pt,
+                                       use_pallas=cfg.use_pallas_ffn,
+                                       name=name)
         sub = lambda name: Sublayer(cfg.dropout, param_dtype=pt, name=name)
         s = cfg.n_streams
         self.self_attn = mha("self_attn")
