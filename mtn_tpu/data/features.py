@@ -1,0 +1,133 @@
+"""Lazy video-feature registry and loaders.
+
+The reference stores ``vid -> (filepath, n_frames)`` per feature stream by
+reading only the ``.npy`` header (data_handler.py:16-24,137-147) and then
+``np.load``s features from disk inside the training hot loop
+(data_handler.py:233). Here the registry is the same, but batch feature
+loading goes through a pluggable loader so the hot path can use the native
+C++ reader (``native/npy_loader.cc``) with host-side threads, falling back
+to numpy when the shared library is not built.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def get_npy_shape(filename: str) -> Tuple[int, ...]:
+    """Read only the array header (parity: data_handler.py:16-24)."""
+    if filename.endswith(".pkl"):
+        with open(filename, "rb") as f:
+            return pickle.load(f).shape
+    with open(filename, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        if version == (1, 0):
+            shape, _, _ = np.lib.format.read_array_header_1_0(f)
+        else:
+            shape, _, _ = np.lib.format.read_array_header_2_0(f)
+    return shape
+
+
+class FeatureRegistry:
+    """Per-stream map ``vid -> (path, n_frames)`` built from header reads."""
+
+    def __init__(self, fea_types: Sequence[str], fea_path_template: str,
+                 vid_set: Sequence[str]):
+        self.fea_types = list(fea_types)
+        self.streams: List[Dict[str, Tuple[str, int]]] = []
+        for ftype in self.fea_types:
+            basepath = fea_path_template.replace("<FeaType>", ftype)
+            stream: Dict[str, Tuple[str, int]] = {}
+            for vid in vid_set:
+                filepath = basepath.replace("<ImageID>", vid)
+                shape = get_npy_shape(filepath)
+                stream[vid] = (filepath, shape[0])
+            self.streams.append(stream)
+
+    def __len__(self) -> int:
+        return len(self.streams)
+
+    def n_frames(self, stream_idx: int, vid: str) -> int:
+        return self.streams[stream_idx][vid][1]
+
+    def path(self, stream_idx: int, vid: str) -> str:
+        return self.streams[stream_idx][vid][0]
+
+    def feature_dims(self) -> List[int]:
+        """Last-axis dim per stream (parity: data_handler.py:277-285)."""
+        dims = []
+        for stream in self.streams:
+            path, _ = next(iter(stream.values()))
+            dims.append(int(_load_npy(path).shape[-1]))
+        return dims
+
+
+# ---------------------------------------------------------------------------
+# Loaders
+# ---------------------------------------------------------------------------
+
+_native = None
+_native_checked = False
+
+
+def _get_native():
+    """Lazily import the ctypes binding to the C++ loader, if built."""
+    global _native, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from mtn_tpu.data import native_loader
+            if native_loader.available():
+                _native = native_loader
+        except Exception:
+            _native = None
+    return _native
+
+
+def _load_npy(path: str) -> np.ndarray:
+    if path.endswith(".pkl"):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    return np.load(path)
+
+
+def load_features(registry: FeatureRegistry, vids: Sequence[str],
+                  max_frames: Sequence[int], skip: Sequence[int],
+                  use_native: bool = True) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Load and pad one batch of per-video features.
+
+    Returns ``(fts, fts_len)`` where ``fts[i]`` is a zero-padded
+    ``(B, max_frames[i], D_i)`` float32 array for stream ``i`` and
+    ``fts_len[i]`` the (B,) int32 count of real frames after skipping.
+
+    The reference pads 2-D features with *ones* as a mask sentinel
+    (data_handler.py:236, data_utils.py:29-30); here padding is zeros and
+    masking is explicit via ``fts_len`` — an intentional, documented fix
+    (a genuine all-ones frame is no longer masked out).
+    """
+    native = _get_native() if use_native else None
+    B = len(vids)
+    fts: List[np.ndarray] = []
+    lens: List[np.ndarray] = []
+    for i in range(len(registry)):
+        paths = [registry.path(i, vid) for vid in vids]
+        s = skip[i] if i < len(skip) else 1
+        if native is not None and all(p.endswith(".npy") for p in paths):
+            arr, ln = native.load_batch(paths, int(max_frames[i]), s)
+        else:
+            first = _load_npy(paths[0])[::s]
+            D = first.shape[-1]
+            arr = np.zeros((B, int(max_frames[i]), D), dtype=np.float32)
+            ln = np.zeros((B,), dtype=np.int32)
+            for j, p in enumerate(paths):
+                a = first if j == 0 else _load_npy(p)[::s]
+                n = min(a.shape[0], arr.shape[1])
+                arr[j, :n] = a[:n]
+                ln[j] = n
+        fts.append(arr)
+        lens.append(ln)
+    return fts, lens
