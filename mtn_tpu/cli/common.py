@@ -44,6 +44,8 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         help="host-side batch prefetch depth")
     parser.add_argument("--use-pallas-attention", default=0, type=int,
                         help="use the fused Pallas attention kernel on TPU")
+    parser.add_argument("--use-pallas-ffn", default=0, type=int,
+                        help="use the fused Pallas FFN kernel on TPU")
     parser.add_argument("--profile-dir", default=None, type=str,
                         help="jax.profiler trace output directory")
     parser.add_argument("--nan-checks", default=0, type=int,

@@ -218,6 +218,7 @@ def main(argv=None):
     data_cfg = config_from_dict("data", conf["data"])
     model_cfg.dtype = args.dtype
     model_cfg.use_pallas_attention = bool(args.use_pallas_attention)
+    model_cfg.use_pallas_ffn = bool(args.use_pallas_ffn)
     if args.dtype == "float32":
         jax.config.update("jax_default_matmul_precision", "highest")
     logging.info("#vocab = %d", len(vocab))

@@ -146,9 +146,11 @@ def main(argv=None):
         diff_encoder=bool(args.diff_encoder),
         diff_embed=bool(args.diff_embed), diff_gen=bool(args.diff_gen),
         auto_encoder_ft=args.auto_encoder_ft, dtype=args.dtype,
-        use_pallas_attention=bool(args.use_pallas_attention))
+        use_pallas_attention=bool(args.use_pallas_attention),
+        use_pallas_ffn=bool(args.use_pallas_ffn))
     data_cfg = DataConfig(
-        fea_type=args.fea_type or [], train_path=args.train_path,
+        fea_type=(list(fea_type) if fea_type else []),
+        train_path=args.train_path,
         train_set=args.train_set, valid_path=args.valid_path,
         valid_set=args.valid_set, include_caption=args.include_caption,
         separate_caption=bool(args.separate_caption),
@@ -172,7 +174,7 @@ def main(argv=None):
     ckpt = CheckpointManager(args.model)
     ckpt.save_conf(vocab, model=model_cfg, data=data_cfg, train=train_cfg)
     dump_params_txt(args.model + "_params.txt", vars(args))
-    logs = TraceLogger(args.model)
+    logs = TraceLogger(args.model, resume=bool(args.resume))
     logging.info("Saving training results to %s", logs.train_csv.path)
 
     rng = jax.random.PRNGKey(args.rand_seed)

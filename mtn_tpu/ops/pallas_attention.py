@@ -43,6 +43,11 @@ def supports(q_shape: Tuple[int, ...], k_shape: Tuple[int, ...],
     Lk = k_shape[2]
     if D > 256 or Lq > _MAX_SEQ or Lk > _MAX_SEQ:
         return False
+    # single-/few-query shapes (incremental decode steps) are launch-
+    # overhead bound: one tiny grid program per (batch, head) is ~8x
+    # slower than the fused XLA einsum there (measured on v5e)
+    if Lq < 16:
+        return False
     # score block + q/k/v/out blocks must fit VMEM (~16MB) with headroom
     vmem = 4 * (Lq * Lk) + 4 * D * (2 * Lq + 2 * Lk)
     return vmem < 8 * 1024 * 1024

@@ -55,12 +55,19 @@ def encode_requests(requests: Sequence[Request], model_cfg, data_cfg, vocab,
     ft_arrays: List[List[np.ndarray]] = [[] for _ in model_cfg.ft_sizes]
     for r in requests:
         caption = words2ids(r.caption, vocab) if r.caption else blank
+        turns = list(r.history)
+        if data_cfg.max_history_length > 0:  # data_handler.py:117-120 law
+            turns = turns[-data_cfg.max_history_length:]
         qa = [np.concatenate([words2ids(q, vocab), words2ids(a, vocab)])
-              for q, a in r.history]
+              for q, a in turns]
         head = blank if sep_cap else caption
         history = np.concatenate([head] + qa).astype(np.int32) if qa else head
+        question = words2ids(r.question, vocab)
+        if data_cfg.merge_source:  # data_handler.py:126-127 law
+            question = np.concatenate(
+                (caption, history, question)).astype(np.int32)
         h_seqs.append(history)
-        q_seqs.append(words2ids(r.question, vocab))
+        q_seqs.append(question)
         c_seqs.append(caption if sep_cap else blank)
         for i, dim in enumerate(model_cfg.ft_sizes):
             name = (data_cfg.fea_type[i]

@@ -135,13 +135,31 @@ class Trainer:
                   step_callback: Optional[Callable[[TrainState, int], None]] = None,
                   step_callback_every: int = 0
                   ) -> Tuple[TrainState, float]:
-        """Returns (state, epoch average loss per token)."""
+        """Returns (state, epoch average loss per token).
+
+        Metric fetches are windowed (a few steps behind the dispatch
+        frontier) so the host never blocks the device on a per-step
+        scalar read — important on high-latency transports.
+        """
+        import collections
         import time
         total_loss = 0.0
         total_tokens = 0.0
         tokens = 0.0
         start = time.time()
         interval = self.train_cfg.report_interval
+        pending = collections.deque()  # (step_idx, metrics) not yet fetched
+        last = [0.0, 1.0]              # last fetched (loss_x, ntok)
+
+        def fetch_one():
+            nonlocal total_loss, total_tokens, tokens
+            _, m = pending.popleft()
+            last[0] = float(m["loss_x_ntok"])
+            last[1] = float(m["ntokens"])
+            total_loss += last[0]
+            total_tokens += last[1]
+            tokens += last[1]
+
         for j, hb in enumerate(batches):
             batch = hb if isinstance(hb, DeviceBatch) \
                 else device_batch(hb, self.feature_dtype)
@@ -149,17 +167,20 @@ class Trainer:
                 state, metrics = self.train_step(state, batch, base_rng)
             else:
                 metrics = self.eval_step(state.params, batch)
-            loss_x = float(metrics["loss_x_ntok"])
-            ntok = float(metrics["ntokens"])
-            total_loss += loss_x
-            total_tokens += ntok
-            tokens += ntok
+            pending.append((j, metrics))
+            while len(pending) > 4:
+                fetch_one()
             if train and report_fn and (j + 1) % interval == 0:
+                while pending:
+                    fetch_one()
                 elapsed = max(time.time() - start, 1e-9)
-                report_fn(j + 1, loss_x / ntok, tokens / elapsed)
+                report_fn(j + 1, last[0] / max(last[1], 1.0),
+                          tokens / elapsed)
                 start = time.time()
                 tokens = 0.0
             if train and step_callback and step_callback_every > 0 and \
                     (j + 1) % step_callback_every == 0:
                 step_callback(state, j + 1)
+        while pending:
+            fetch_one()
         return state, total_loss / max(total_tokens, 1.0)

@@ -63,9 +63,16 @@ class CheckpointManager:
         with open(self._meta_path, "w") as f:
             json.dump(meta, f)
         if keep > 0:
+            pruned = []
             for old in meta["epochs"][:-keep]:
                 if old != meta.get("best_epoch"):
                     shutil.rmtree(self._epoch_dir(old), ignore_errors=True)
+                    pruned.append(old)
+            if pruned:
+                meta["epochs"] = [e for e in meta["epochs"]
+                                  if e not in pruned]
+                with open(self._meta_path, "w") as f:
+                    json.dump(meta, f)
 
     def _meta(self) -> dict:
         if os.path.exists(self._meta_path):

@@ -17,11 +17,15 @@ import time
 from typing import Any, Optional
 
 
+import os
+
+
 class CSVLogger:
-    def __init__(self, path: str, header: str):
+    def __init__(self, path: str, header: str, resume: bool = False):
         self.path = path
-        with open(path, "w") as f:
-            f.write(header + "\n")
+        if not (resume and os.path.exists(path)):
+            with open(path, "w") as f:
+                f.write(header + "\n")
 
     def append(self, *fields):
         with open(self.path, "a") as f:
@@ -29,15 +33,20 @@ class CSVLogger:
 
 
 class TraceLogger:
-    """Per-model log bundle (train CSV, trace CSV, JSONL metrics)."""
+    """Per-model log bundle (train CSV, trace CSV, JSONL metrics).
 
-    def __init__(self, model_prefix: str):
+    ``resume=True`` appends to existing logs instead of truncating them
+    (the reference always restarts logs; we resume mid-training).
+    """
+
+    def __init__(self, model_prefix: str, resume: bool = False):
         self.train_csv = CSVLogger(model_prefix + "_train.csv",
-                                   "epoch,step,loss,tokens_per_sec")
+                                   "epoch,step,loss,tokens_per_sec", resume)
         self.trace_csv = CSVLogger(model_prefix + "_trace.csv",
-                                   "epoch,split,avg_loss")
+                                   "epoch,split,avg_loss", resume)
         self.jsonl_path = model_prefix + "_metrics.jsonl"
-        open(self.jsonl_path, "w").close()
+        if not (resume and os.path.exists(self.jsonl_path)):
+            open(self.jsonl_path, "w").close()
 
     def train_step(self, epoch: int, step: int, loss: float,
                    tokens_per_sec: float):

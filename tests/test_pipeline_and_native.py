@@ -191,3 +191,42 @@ def test_checkify_fn_catches_nan():
     assert np.isfinite(float(wrapped(jnp.asarray(2.0))))
     with pytest.raises(Exception):
         wrapped(jnp.asarray(-1.0))
+
+
+def test_trace_logger_resume_appends(tmp_path):
+    from mtn_tpu.utils.logging import TraceLogger
+    prefix = str(tmp_path / "m")
+    logs = TraceLogger(prefix)
+    logs.epoch(1, "train", 5.0)
+    logs2 = TraceLogger(prefix, resume=True)
+    logs2.epoch(2, "train", 4.0)
+    lines = open(prefix + "_trace.csv").read().splitlines()
+    assert len(lines) == 3 and lines[1].startswith("1,") \
+        and lines[2].startswith("2,")
+    # non-resume truncates (reference behavior)
+    TraceLogger(prefix)
+    assert len(open(prefix + "_trace.csv").read().splitlines()) == 1
+
+
+def test_checkpoint_keep_prunes_meta(tmp_path, ds):
+    from mtn_tpu.data.batching import make_batch
+    from mtn_tpu.data import make_batch_indices
+    from mtn_tpu.train.batch import device_batch
+    from mtn_tpu.train.trainer import Trainer
+    from mtn_tpu.utils.checkpoint import CheckpointManager
+    from tests.fixtures import tiny_model_cfg
+    plans, _ = make_batch_indices(ds, 4, 64, separate_caption=True)
+    db = device_batch(make_batch(ds, plans[0], separate_caption=True))
+    cfg = tiny_model_cfg(len(ds.vocab), ds.feature_dims(), dropout=0.0)
+    tr = Trainer(cfg, TrainConfig(warmup_steps=10))
+    st = tr.init_state(jax.random.PRNGKey(0), db)
+    ckpt = CheckpointManager(str(tmp_path / "m"))
+    for e in range(1, 5):
+        ckpt.save(e, st, val_loss=10.0 - e, keep=2)
+    meta = json.load(open(os.path.join(str(tmp_path / "m") + "_ckpt",
+                                       "meta.json")))
+    # epochs 1,2 pruned (except best rules); meta matches disk
+    for e in meta["epochs"]:
+        assert os.path.isdir(os.path.join(str(tmp_path / "m") + "_ckpt",
+                                          f"epoch_{e}"))
+    assert 4 in meta["epochs"]

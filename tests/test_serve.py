@@ -52,3 +52,31 @@ def test_serving_session_from_trained_checkpoint(tiny_corpus,
     # works without features (zero-filled streams)
     ans2 = session.respond(question="is it raining ?")
     assert isinstance(ans2, str)
+
+
+def test_encode_requests_honors_merge_and_history_laws():
+    import numpy as np
+    from mtn_tpu.config import DataConfig, ModelConfig
+    from mtn_tpu.serve import Request, encode_requests
+    vocab = {"<unk>": 0, "<blank>": 1, "<sos>": 2, "<eos>": 3,
+             "a": 4, "b": 5, "c": 6}
+    mc = ModelConfig(vocab_size=7, ft_sizes=[])
+    r = Request(question="a", history=[("a b", "c"), ("b", "a a")],
+                caption="c c")
+    base = encode_requests([r], mc, DataConfig(
+        include_caption="caption", separate_caption=True), vocab)
+    # history: blank head + both QA pairs (each word + sos/eos wrappers)
+    qa1 = 4 + 3  # 'a b' (2+2) + 'c' (1+2)
+    qa2 = 3 + 4
+    assert base.his.shape[1] == 1 + qa1 + qa2
+    assert base.query.shape[1] == 3  # sos a eos
+    # max_history_length=1 keeps only the last turn
+    trunc = encode_requests([r], mc, DataConfig(
+        include_caption="caption", separate_caption=True,
+        max_history_length=1), vocab)
+    assert trunc.his.shape[1] == 1 + qa2
+    # merge_source concatenates caption + history + question
+    merged = encode_requests([r], mc, DataConfig(
+        include_caption="caption", separate_caption=True,
+        merge_source=True), vocab)
+    assert merged.query.shape[1] == 4 + (1 + qa1 + qa2) + 3  # cap+his+q
