@@ -31,8 +31,7 @@ with a host sync per hypothesis. Here:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import List, Optional, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -90,7 +89,6 @@ class BeamDecoder:
             # tile every per-turn tensor over the beam: row b*beam+k = turn b
             state = jax.tree.map(lambda x: jnp.repeat(x, beam, axis=0), state)
             self_kv = self.model.init_self_kv(B * beam, maxlen)
-            V = None  # bound on first step
 
             tok_buf = jnp.full((B, beam, maxlen + 1), self.pad, jnp.int32)
             tok_buf = tok_buf.at[:, :, 0].set(sos)

@@ -212,10 +212,9 @@ class Sublayer(nn.Module):
         return x + self.drop(f(self.norm(x)), deterministic=deterministic)
 
     def normed(self, x):
+        """Pre-norm input (used by the decode path to cache self-attn K/V
+        consistently with the training-time sublayer)."""
         return self.norm(x)
-
-    def residual(self, x, fx, deterministic: bool = True):
-        return x + self.drop(fx, deterministic=deterministic)
 
 
 class Generator(nn.Module):
