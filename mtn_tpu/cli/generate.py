@@ -91,6 +91,7 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
                              x_len=list(x)) for p in plans]
     answers = {}
     scores = {}
+    nbest = {}
     t0 = time.time()
     if decode_cfg.decode_style == "beam_search":
         # fully pipelined: a producer thread loads features, pads, and
@@ -128,13 +129,15 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
             if t_first[0] is None:
                 t_first[0] = time.time()
             for qa_id, res in zip(plan.qa_ids, results):
-                words = []
-                for tok in res.tokens[0]:
-                    if tok == vocab["<eos>"]:
-                        break
-                    words.append(vlist[tok])
-                answers[qa_id] = " ".join(words)
-                scores[qa_id] = res.scores[0]
+                nbest[qa_id] = []
+                for toks, sc in zip(res.tokens, res.scores):
+                    words = []
+                    for tok in toks:
+                        if tok == vocab["<eos>"]:
+                            break
+                        words.append(vlist[tok])
+                    nbest[qa_id].append((" ".join(words), sc))
+                answers[qa_id], scores[qa_id] = nbest[qa_id][0]
 
         while True:
             item = q.get()
@@ -177,6 +180,9 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
         vid = dialog["image_id"]
         out_dialog = dialog["dialog"][-1:] if undisclosed \
             else dialog["dialog"]
+        if undisclosed and ref_data is not None:
+            # parity: generate.py:35 asserts hypothesis/reference alignment
+            assert ref_data["dialogs"][idx]["image_id"] == vid
         pred = {"image_id": vid, "dialog": copy.deepcopy(out_dialog)}
         result_dialogs.append(pred)
         for t, qa in enumerate(out_dialog):
@@ -188,8 +194,11 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
                     logging.info("REF: %s", ref_turn["answer"])
                 else:
                     logging.info("REF: %s", qa["answer"])
-                logging.info("HYP[1]: %s  ( %f )", answers[qa_id],
-                             scores[qa_id])
+                # n-best log lines (generate.py:57-66 format)
+                for ni, (hyp, sc) in enumerate(
+                        nbest.get(qa_id, [(answers[qa_id],
+                                           scores[qa_id])])):
+                    logging.info("HYP[%d]: %s  ( %f )", ni + 1, hyp, sc)
             pred["dialog"][t]["answer"] = answers[qa_id]
             qa_id += 1
     logging.info("decoded %d turns in %.2fs (%.2f responses/sec)", n, wall,
