@@ -67,7 +67,7 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
     from mtn_tpu.data import make_batch_indices
     from mtn_tpu.data.batching import make_batch
     from mtn_tpu.data.vocab import vocab_list
-    from mtn_tpu.decode.beam import BeamDecoder
+    from mtn_tpu.decode.beam import BeamDecoder, detokenize
     from mtn_tpu.train.batch import device_batch
 
     vlist = vocab_list(vocab)
@@ -129,15 +129,13 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
             if t_first[0] is None:
                 t_first[0] = time.time()
             for qa_id, res in zip(plan.qa_ids, results):
-                nbest[qa_id] = []
-                for toks, sc in zip(res.tokens, res.scores):
-                    words = []
-                    for tok in toks:
-                        if tok == vocab["<eos>"]:
-                            break
-                        words.append(vlist[tok])
-                    nbest[qa_id].append((" ".join(words), sc))
-                answers[qa_id], scores[qa_id] = nbest[qa_id][0]
+                if log:  # full n-best strings only needed for the log
+                    nbest[qa_id] = res.texts(vlist, vocab["<eos>"])
+                    answers[qa_id], scores[qa_id] = nbest[qa_id][0]
+                else:
+                    answers[qa_id] = detokenize(res.tokens[0], vlist,
+                                                vocab["<eos>"])
+                    scores[qa_id] = res.scores[0]
 
         while True:
             item = q.get()
@@ -186,6 +184,8 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
         pred = {"image_id": vid, "dialog": copy.deepcopy(out_dialog)}
         result_dialogs.append(pred)
         for t, qa in enumerate(out_dialog):
+            if undisclosed:
+                assert qa["answer"] == "__UNDISCLOSED__"  # generate.py:43-44
             if log:
                 logging.info("%d %s_%d", qa_id, vid, t)
                 logging.info("QS: %s", qa["question"])
@@ -194,11 +194,14 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
                     logging.info("REF: %s", ref_turn["answer"])
                 else:
                     logging.info("REF: %s", qa["answer"])
-                # n-best log lines (generate.py:57-66 format)
-                for ni, (hyp, sc) in enumerate(
-                        nbest.get(qa_id, [(answers[qa_id],
-                                           scores[qa_id])])):
-                    logging.info("HYP[%d]: %s  ( %f )", ni + 1, hyp, sc)
+                if decode_cfg.decode_style == "beam_search":
+                    # n-best log lines (generate.py:57-66 format)
+                    for ni, (hyp, sc) in enumerate(
+                            nbest.get(qa_id, [(answers[qa_id],
+                                               scores[qa_id])])):
+                        logging.info("HYP[%d]: %s  ( %f )", ni + 1, hyp, sc)
+                else:
+                    logging.info("HYP: %s", answers[qa_id])  # generate.py:79
             pred["dialog"][t]["answer"] = answers[qa_id]
             qa_id += 1
     logging.info("decoded %d turns in %.2fs (%.2f responses/sec)", n, wall,

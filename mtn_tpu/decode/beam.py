@@ -45,12 +45,26 @@ from mtn_tpu.train.batch import DeviceBatch, batch_masks
 NEG_INF = -1.0e30
 
 
+def detokenize(tokens, vlist, eos: int = SPECIALS["<eos>"]) -> str:
+    """Token ids -> space-joined words, cut at <eos> (generate.py:59-64)."""
+    words = []
+    for t in tokens:
+        if int(t) == eos:
+            break
+        words.append(vlist[int(t)])
+    return " ".join(words)
+
+
 @dataclass
 class BeamResult:
     """Host-side n-best for one turn."""
 
     tokens: List[List[int]]   # nbest token lists (no <sos>/<eos>)
     scores: List[float]
+
+    def texts(self, vlist, eos: int = SPECIALS["<eos>"]):
+        return [(detokenize(t, vlist, eos), s)
+                for t, s in zip(self.tokens, self.scores)]
 
 
 class BeamDecoder:

@@ -145,15 +145,10 @@ class ServingSession:
                              self.vocab, self._lb, self._fb)
         results = self.decoder.beam_batch(
             self.params, device_batch(hb, self.model_cfg.dtype))
-        out = []
-        for res in results:
-            words = []
-            for tok in res.tokens[0]:
-                if tok == self.vocab["<eos>"]:
-                    break
-                words.append(self.vlist[tok])
-            out.append((" ".join(words), res.scores[0]))
-        return out
+        from mtn_tpu.decode.beam import detokenize
+        return [(detokenize(res.tokens[0], self.vlist,
+                            self.vocab["<eos>"]), res.scores[0])
+                for res in results]
 
     def respond(self, question: str, history: Sequence[Tuple[str, str]] = (),
                 caption: str = "",
