@@ -105,3 +105,24 @@ def test_maxlen_one(setup):
     # at l=0 with min_len=0 the only completion is the empty hypothesis
     for r in res:
         assert r.tokens[0] == []
+
+
+def test_beam_matches_slow_reference_caption_order():
+    """Same oracle check for auto_encoder_ft='caption' (swapped x-path
+    attention order + caption-seeded AE, mtn.py:187-194)."""
+    rng = np.random.default_rng(11)
+    db = _random_batch(rng, B=2, vocab=20)
+    cfg = tiny_model_cfg(20, (12, 8), dropout=0.0, auto_encoder_ft="caption",
+                         diff_encoder=True)
+    model = MTN(cfg)
+    from mtn_tpu.train.batch import batch_masks
+    masks, tgt_mask = batch_masks(db, PAD)
+    params = model.init({"params": jax.random.PRNGKey(9)}, db.query, db.his,
+                        db.cap, db.fts, masks, db.answer_in, tgt_mask,
+                        method=MTN.init_all)["params"]
+    dec = BeamDecoder(cfg, DecodeConfig(maxlen=5, beam=2, nbest=2))
+    fast = dec.beam_batch(params, db)
+    for b in range(2):
+        want, _ = slow_beam(model, params, _row(db, b), PAD, SOS, EOS, UNK,
+                            maxlen=5, beam=2, penalty=1.0, nbest=2)
+        assert [t for t, _ in want] == fast[b].tokens

@@ -191,3 +191,31 @@ def test_text_only_cli_pipeline(tiny_corpus, tmp_path):
     result = _json.load(open(result_path))
     assert all(isinstance(d["dialog"][0]["answer"], str)
                for d in result["dialogs"])
+
+
+def test_cli_step_checkpointing(tiny_corpus, tmp_path):
+    prefix = str(tmp_path / "mtn_step")
+    from mtn_tpu.cli.train import main as train_main
+    common = [
+        "--fea-type", *tiny_corpus.fea_types,
+        "--train-path", tiny_corpus.fea_path,
+        "--train-set", tiny_corpus.train_set,
+        "--valid-path", tiny_corpus.fea_path,
+        "--valid-set", tiny_corpus.valid_set,
+        "--include-caption", "caption,summary", "--separate-caption", "1",
+        "--batch-size", "4", "--max-length", "64",
+        "--model", prefix, "--nb-blocks", "1", "--d-model", "16",
+        "--d-ff", "32", "--att-h", "2", "--warmup-steps", "20",
+        "--diff-encoder", "1", "--auto-encoder-ft", "query",
+        "--vocab-cutoff", "0", "--dtype", "float32",
+        "--length-bucket", "8", "--feature-bucket", "4",
+    ]
+    rc = train_main(common + ["--num-epochs", "1",
+                              "--checkpoint-every-steps", "2"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(prefix + "_ckpt", "step_latest"))
+    meta = json.load(open(os.path.join(prefix + "_ckpt", "meta.json")))
+    assert meta["step"] > 0
+    # resume from the step checkpoint
+    rc = train_main(common + ["--num-epochs", "1", "--resume", "step"])
+    assert rc == 0
