@@ -126,3 +126,15 @@ def test_beam_matches_slow_reference_caption_order():
         want, _ = slow_beam(model, params, _row(db, b), PAD, SOS, EOS, UNK,
                             maxlen=5, beam=2, penalty=1.0, nbest=2)
         assert [t for t, _ in want] == fast[b].tokens
+
+
+def test_nbest_exceeds_beam(setup):
+    """run.sh uses nbest=5 with beam=5; nbest > beam must also work (the
+    completion pool accumulates across steps, so more than `beam`
+    completions exist)."""
+    cfg, model, params, db = setup
+    dec = BeamDecoder(cfg, DecodeConfig(maxlen=5, beam=2, nbest=6))
+    res = dec.beam_batch(params, db)
+    for r in res:
+        assert 1 <= len(r.tokens) <= 6
+        assert r.scores == sorted(r.scores, reverse=True)
