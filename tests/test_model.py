@@ -180,3 +180,22 @@ def test_length_bucket_padding_does_not_change_loss():
         fts=tuple(pad_len(f, 1, 3) for f in db.fts))
     padded = float(tr.eval_step(st.params, db2)["loss"])
     np.testing.assert_allclose(padded, base, rtol=1e-5)
+
+
+def test_training_is_deterministic():
+    """Same seeds => bit-identical losses across fresh runs (explicit
+    PRNG keys everywhere; the reference relies on global seeds)."""
+    from mtn_tpu.config import TrainConfig
+    losses = []
+    for _ in range(2):
+        rng = np.random.default_rng(5)
+        db = _random_batch(rng)
+        cfg = tiny_model_cfg(30, (12, 8), dropout=0.2)
+        tr = Trainer(cfg, TrainConfig(warmup_steps=10))
+        st = tr.init_state(jax.random.PRNGKey(3), db)
+        run = []
+        for _ in range(3):
+            st, m = tr.train_step(st, db, jax.random.PRNGKey(4))
+            run.append(float(m["loss"]))
+        losses.append(run)
+    assert losses[0] == losses[1]
