@@ -44,8 +44,8 @@ class Request:
 
 
 def encode_requests(requests: Sequence[Request], model_cfg, data_cfg, vocab,
-                    length_bucket: int = 1,
-                    feature_bucket: int = 1) -> HostBatch:
+                    length_bucket: int = 1, feature_bucket: int = 1,
+                    pad_rows_to: int = 0) -> HostBatch:
     """Turn raw dialogue requests into a padded HostBatch (the serving
     counterpart of data_handler's load+make_batch path, using the same
     history-construction law)."""
@@ -76,7 +76,8 @@ def encode_requests(requests: Sequence[Request], model_cfg, data_cfg, vocab,
             if ft is None:
                 ft = np.zeros((1, dim), np.float32)
             ft_arrays[i].append(np.asarray(ft, np.float32))
-    B = len(requests)
+    n = len(requests)
+    B = max(n, pad_rows_to) if pad_rows_to else n
     pad = vocab[BLANK]
     lb = max(length_bucket, 1)
     fb = max(feature_bucket, 1)
@@ -91,15 +92,16 @@ def encode_requests(requests: Sequence[Request], model_cfg, data_cfg, vocab,
         arr = np.zeros((B, T, dim), np.float32)
         ln = np.zeros((B,), np.int32)
         for j, a in enumerate(ft_arrays[i]):
-            n = min(a.shape[0], T)
-            arr[j, :n] = a[:n, :dim]
-            ln[j] = n
+            n_fr = min(a.shape[0], T)
+            arr[j, :n_fr] = a[:n_fr, :dim]
+            ln[j] = n_fr
         fts.append(arr)
         fts_len.append(ln)
     ans = np.full((B, lb), pad, np.int32)
     return HostBatch(query=padded(q_seqs), his=padded(h_seqs),
                      answer_in=ans, answer_out=ans, cap=padded(c_seqs),
-                     fts=fts, fts_len=fts_len, valid=np.ones((B,), bool))
+                     fts=fts, fts_len=fts_len,
+                     valid=(np.arange(B) < n))
 
 
 class ServingSession:
@@ -141,8 +143,13 @@ class ServingSession:
 
     def respond_batch(self, requests: Sequence[Request]
                       ) -> List[Tuple[str, float]]:
+        # pad the batch axis to turn_batch so every request batch of size
+        # <= turn_batch reuses the same compiled beam program
+        rows = self.decode_cfg.turn_batch \
+            if len(requests) <= self.decode_cfg.turn_batch else 0
         hb = encode_requests(requests, self.model_cfg, self.data_cfg,
-                             self.vocab, self._lb, self._fb)
+                             self.vocab, self._lb, self._fb,
+                             pad_rows_to=rows)
         results = self.decoder.beam_batch(
             self.params, device_batch(hb, self.model_cfg.dtype))
         from mtn_tpu.decode.beam import detokenize
