@@ -53,6 +53,7 @@ def write_tiny_corpus(root: Path, n_dialogs=6, n_turns=3,
                       ft_dims=(32, 16), seed=0) -> TinyCorpus:
     rng = np.random.default_rng(seed)
     root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
     train = make_dialog_json(rng, n_dialogs, n_turns)
     valid = make_dialog_json(rng, max(2, n_dialogs // 2), n_turns)
     lbl_test = make_dialog_json(rng, 3, n_turns)
