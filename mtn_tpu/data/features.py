@@ -45,6 +45,18 @@ class FeatureRegistry:
             for vid in vid_set:
                 filepath = basepath.replace("<ImageID>", vid)
                 shape = get_npy_shape(filepath)
+                if len(shape) != 2:
+                    # The reference nominally pads 3-D per-frame arrays
+                    # (data_handler.py:237-238) but that path is broken
+                    # end-to-end (its mask law data_utils.py:29 only
+                    # handles 2-D); fail loudly instead of emitting a
+                    # cryptic shape error downstream.
+                    raise NotImplementedError(
+                        f"{filepath}: {len(shape)}-D feature array "
+                        f"{shape}; only 2-D (n_frames, dim) per-video "
+                        "features are supported (the reference's 3-D "
+                        "path, data_handler.py:237, is itself broken "
+                        "end-to-end)")
                 stream[vid] = (filepath, shape[0])
             self.streams.append(stream)
 

@@ -185,6 +185,18 @@ if [ $stage -le 4 ]; then
     echo --------------------------
     echo stage 4: score results
     echo --------------------------
+    # The real DSTC7-AVSD download ships the undisclosed eval file under
+    # the reference repo's spelling "lbl_undiscloseonly_..." (ls
+    # /root/reference/data), while run.sh variables historically say
+    # "lbl_undisclosedonly_...". Accept either spelling (the reference
+    # run.sh:68 cannot).
+    if [ ! -f "$eval_set" ]; then
+        alt_eval_set=${eval_set/lbl_undisclosedonly_/lbl_undiscloseonly_}
+        if [ -f "$alt_eval_set" ]; then
+            echo "eval set $eval_set not found; using shipped spelling $alt_eval_set"
+            eval_set=$alt_eval_set
+        fi
+    fi
     for data_set in $eval_set; do
         echo start evaluation for $data_set
         save_target=$(basename ${test_set%.*})
