@@ -43,9 +43,13 @@ def add_tpu_args(parser: argparse.ArgumentParser):
     parser.add_argument("--prefetch", default=2, type=int,
                         help="host-side batch prefetch depth")
     parser.add_argument("--use-pallas-attention", default=0, type=int,
-                        help="use the fused Pallas attention kernel on TPU")
+                        help="use the fused Pallas attention kernel on TPU "
+                             "(opt-in: measured slower at flagship shapes, "
+                             "wins only at long sequences — docs/BENCH.md)")
     parser.add_argument("--use-pallas-ffn", default=0, type=int,
-                        help="use the fused Pallas FFN kernel on TPU")
+                        help="use the fused Pallas FFN kernel on TPU "
+                             "(opt-in: e2e-neutral at flagship shapes — "
+                             "docs/BENCH.md)")
     parser.add_argument("--profile-dir", default=None, type=str,
                         help="jax.profiler trace output directory")
     parser.add_argument("--nan-checks", default=0, type=int,
@@ -64,8 +68,13 @@ def make_mesh_from_args(args, batch_size: int = 0):
     data = args.mesh_data
     if data == -1:
         data = n // max(args.mesh_model, 1)
-        if batch_size > 0:
-            # the batch axis must divide evenly over the data axis
-            data = math.gcd(batch_size, data)
+    if batch_size > 0 and data > 1:
+        # the batch axis must divide evenly over the data axis
+        fit = math.gcd(batch_size, data)
+        if fit != data and args.mesh_data != -1:
+            logging.warning(
+                "--mesh-data %d does not divide the batch size %d; "
+                "using %d data-parallel devices", data, batch_size, fit)
+        data = fit
     mesh = make_mesh(data=data, model=args.mesh_model)
     return mesh, Shardings(mesh)

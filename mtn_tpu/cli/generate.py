@@ -59,10 +59,13 @@ def _split_model_arg(model: str):
 
 
 def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
-                       vocab, ref_data=None, log=True):
+                       vocab, ref_data=None, log=True, mesh=None,
+                       shardings=None):
     """Decode every turn; returns the reference-format result dict
     (generate.py:39-41,68 semantics: deep-copied dialogs with the 1-best
-    hypothesis string in place of each answer)."""
+    hypothesis string in place of each answer). With ``mesh``/``shardings``
+    the beam program compiles under the mesh and each turn batch is
+    sharded over the ``data`` axis (GSPMD data-parallel decode)."""
     import numpy as np
     from mtn_tpu.data import make_batch_indices
     from mtn_tpu.data.batching import make_batch
@@ -71,7 +74,11 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
     from mtn_tpu.train.batch import device_batch
 
     vlist = vocab_list(vocab)
-    decoder = BeamDecoder(model_cfg, decode_cfg)
+    decoder = BeamDecoder(model_cfg, decode_cfg, mesh=mesh)
+
+    def to_device(hb):
+        db = device_batch(hb, model_cfg.dtype)
+        return shardings.put_batch(db) if shardings is not None else db
     # length-sorted plans pack similar turns together (padding efficiency);
     # qa_ids map results back to dialogue order
     plans, n = make_batch_indices(dataset, batchsize=decode_cfg.turn_batch,
@@ -112,7 +119,7 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
                         length_bucket=data_cfg.length_bucket,
                         feature_bucket=data_cfg.feature_bucket,
                         pad_rows_to=decode_cfg.turn_batch)
-                    q.put((plan, device_batch(hb, model_cfg.dtype)))
+                    q.put((plan, to_device(hb)))
             except BaseException as e:
                 err.append(e)
             finally:
@@ -164,8 +171,7 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
                             length_bucket=data_cfg.length_bucket,
                             feature_bucket=data_cfg.feature_bucket,
                             pad_rows_to=decode_cfg.turn_batch)
-            db = device_batch(hb, model_cfg.dtype)
-            toks = decoder.greedy_batch(params, db)
+            toks = decoder.greedy_batch(params, to_device(hb))
             for qa_id, row in zip(plan.qa_ids, toks):
                 answers[qa_id] = " ".join(vlist[t] for t in row)
                 scores[qa_id] = 0.0
@@ -268,11 +274,19 @@ def main(argv=None):
     if args.undisclosed_only and args.labeled_test:
         with open(args.labeled_test) as f:
             ref_data = json.load(f)
+    from mtn_tpu.cli.common import make_mesh_from_args
+    mesh, shardings = make_mesh_from_args(args, batch_size=args.turn_batch)
+    if mesh is not None:
+        logging.info("decoding under mesh %s", dict(mesh.shape))
+        # params were restored onto one device; lay them out over the mesh
+        # (replicated under pure dp, tp-sharded when --mesh-model > 1)
+        params = shardings.shard_state(params)
     logging.info("--------------------generate--------------------")
     t0 = time.time()
     result, wall, n = generate_responses(
         params, model_cfg, test_data, decode_cfg, data_cfg, vocab,
-        ref_data=ref_data, log=args.verbose >= 1)
+        ref_data=ref_data, log=args.verbose >= 1, mesh=mesh,
+        shardings=shardings)
     logging.info("wall time = %f", time.time() - t0)
     if args.output:
         logging.info("writing results to %s", args.output)
