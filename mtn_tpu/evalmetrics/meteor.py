@@ -1,11 +1,16 @@
 """METEOR (pure-Python approximation).
 
-The reference scores METEOR via the Java jar inside coco-caption
-(SURVEY.md C14); this image has no Java and no network, so METEOR is
-reimplemented with the exact + Porter-stem matcher stages (no WordNet
-synonym or paraphrase tables — those require external resources).
-Scores therefore approximate the jar's from below; the approximation is
-deterministic and monotone, and is clearly labeled in logs.
+The reference scores METEOR via the Java METEOR-1.5 jar inside
+coco-caption (SURVEY.md C14, invoked ``-l en -norm``); this image has no
+Java and no network, so METEOR is reimplemented with the exact +
+Porter-stem matcher stages (no WordNet synonym or paraphrase tables —
+those require external resources). Two documented deltas vs the jar
+(docs/PARITY.md C14, quantified where measurable in
+tests/test_metric_goldens.py): (a) the missing syn/par stages can only
+remove matches, so the *match count* approximates the jar's from below;
+(b) the scoring constants here are the classic Banerjee & Lavie 2005
+parameters below, not METEOR 1.5's language-tuned ones — a formula-level
+difference that cannot be bounded without running the jar.
 
 Formula (classic METEOR, Banerjee & Lavie 2005, with exact/stem matcher
 weights 1.0/0.6):

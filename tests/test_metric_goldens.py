@@ -1,0 +1,199 @@
+"""External golden fixtures for the pure-Python metric stack.
+
+Round-1 verdict asked for metric values checked against *external*
+sources rather than only self-derived oracles (VERDICT r1 missing #2).
+Java/pycocoevalcap are not in this image (the reference's vendored
+coco-caption dirs are empty clone stubs), so the goldens here are:
+
+- published worked examples from the metric papers (BLEU: Papineni et
+  al. 2002 §2.1; ROUGE-L: Lin 2004 §3.1; METEOR: Banerjee & Lavie 2005
+  §2 alignment/chunk example), hand-evaluated through the exact COCO
+  formulas with the derivation in comments;
+- an independent implementation cross-check: nltk's ``corpus_bleu``
+  implements the same Papineni corpus BLEU (micro-averaged clipped
+  precisions + closest-reference brevity penalty) that pycocoevalcap
+  does, so our Bleu_1..4 must agree with it to float precision;
+- a stemmer cross-check against nltk's PorterStemmer in
+  ORIGINAL_ALGORITHM mode (the classic 1980 paper our stem.py follows).
+
+METEOR caveat (docs/PARITY.md C14): the reference jar is METEOR 1.5
+(``-l en -norm``) whose tuned parameters and syn/par modules need
+external resources; our implementation is the classic Banerjee & Lavie
+2005 scorer with exact+stem stages. These goldens pin OUR formula
+exactly; the jar delta is documented, not asserted.
+"""
+
+import math
+
+import pytest
+
+from mtn_tpu.evalmetrics.bleu import corpus_bleu
+from mtn_tpu.evalmetrics.cider import cider
+from mtn_tpu.evalmetrics.meteor import meteor
+from mtn_tpu.evalmetrics.rouge import rouge_l
+from mtn_tpu.evalmetrics.stem import porter_stem
+
+
+def test_bleu_papineni_clipping_example():
+    """Papineni et al. 2002 §2.1: the canonical clipping example.
+
+    Candidate 'the the the the the the the' vs the two mat references:
+    modified unigram precision = 2/7 (count of 'the' clipped at the max
+    reference count 2). testlen 7 == closest reflen 7 -> no BP.
+    """
+    refs = {1: ["the cat is on the mat", "there is a cat on the mat"]}
+    hyps = {1: ["the the the the the the the"]}
+    assert corpus_bleu(refs, hyps)[0] == pytest.approx(2 / 7, rel=1e-6)
+
+
+def test_bleu_matches_nltk_corpus_bleu():
+    """pycocoevalcap's Bleu and nltk's corpus_bleu both implement
+    Papineni corpus BLEU (micro-averaged clipped n-gram precisions,
+    closest-ref-length BP with the shorter-on-tie rule). Agreement with
+    nltk is therefore agreement with the reference scorer's algorithm,
+    checked against an implementation we did not write."""
+    from nltk.translate.bleu_score import corpus_bleu as nltk_bleu
+    refs = {
+        1: ["a man is sitting on a couch watching television",
+            "the man sits on the sofa and watches tv"],
+        2: ["two dogs are playing in the park with a ball"],
+        3: ["she opens the door and walks into the room slowly"],
+        4: ["the cat sleeps on the warm kitchen table"],
+    }
+    hyps = {
+        1: ["a man sits on a couch watching tv"],
+        2: ["two dogs play in the park with a ball"],
+        3: ["she opens the door and walks into the room"],
+        4: ["a cat sleeps on the kitchen table"],
+    }
+    ours = corpus_bleu(refs, hyps)
+    keys = sorted(hyps)
+    lref = [[r.split() for r in refs[k]] for k in keys]
+    lhyp = [hyps[k][0].split() for k in keys]
+    for n in range(1, 5):
+        want = nltk_bleu(lref, lhyp, weights=tuple([1.0 / n] * n))
+        # tiny/small guards in the COCO formula shift the value by ~1e-9
+        assert ours[n - 1] == pytest.approx(want, abs=1e-7), f"Bleu_{n}"
+
+
+def test_rouge_l_lin2004_examples():
+    """Lin 2004 §3.1: ref S1 'police killed the gunman';
+    C1 'police kill the gunman' has LCS 3 ('police the gunman'),
+    C2 'the gunman kill police' has LCS 2 ('the gunman').
+    With COCO's beta=1.2: F = (1+b^2)PR / (R + b^2 P)."""
+    b2 = 1.2 ** 2
+
+    def f(p, r):
+        return (1 + b2) * p * r / (r + b2 * p)
+
+    ref = {1: ["police killed the gunman"]}
+    assert rouge_l(ref, {1: ["police kill the gunman"]}) == \
+        pytest.approx(f(3 / 4, 3 / 4), rel=1e-9)
+    assert rouge_l(ref, {1: ["the gunman kill police"]}) == \
+        pytest.approx(f(2 / 4, 2 / 4), rel=1e-9)
+
+
+def test_cider_hand_derived_tfidf():
+    """Two-image corpus small enough to evaluate the pycocoevalcap CIDEr
+    algorithm (Vedantam et al. 2015) by hand.
+
+    refs: img1 'a b', img2 'c d'. Every unigram/bigram appears in exactly
+    one image -> df=1 -> idf = log(2). 3/4-grams don't exist at length 2,
+    their vectors have zero norm and contribute 0 (matching the COCO
+    code's zero-norm guard).
+
+    Perfect hyps: sim_1 = sim_2 = 1 (cosine of identical vectors), length
+    delta 0 -> per-image score = 10 * (1+1+0+0)/4 = 5.0.
+
+    Half-match hyp 'a x' for img1: unseen 'x' still gets idf = log(2)
+    (df clipped at 1 by max(1, df)); unigram cosine =
+    log2^2 / (sqrt(2)log2 * sqrt(2)log2) = 1/2; bigram 'a x' vs 'a b'
+    disjoint -> 0; so img1 = 10*(0.5)/4 = 1.25 and the corpus mean is
+    (1.25 + 5.0)/2 = 3.125.
+    """
+    refs = {1: ["a b"], 2: ["c d"]}
+    assert cider(refs, {1: ["a b"], 2: ["c d"]}) == pytest.approx(5.0)
+    assert cider(refs, {1: ["a x"], 2: ["c d"]}) == pytest.approx(3.125)
+
+
+def test_meteor_banerjee_lavie_chunk_example():
+    """Banerjee & Lavie 2005 §2 alignment example: hyp 'the president
+    spoke to the audience' vs ref 'the president then spoke to the
+    audience' -> 6 exact matches in 2 chunks.
+
+    P = 6/6, R = 6/7, Fmean = PR/(0.9P + 0.1R), Pen = 0.5*(2/6)^3.
+    """
+    p, r = 1.0, 6 / 7
+    fmean = p * r / (0.9 * p + 0.1 * r)
+    want = fmean * (1 - 0.5 * (2 / 6) ** 3)
+    got = meteor({1: ["the president then spoke to the audience"]},
+                 {1: ["the president spoke to the audience"]})
+    assert got == pytest.approx(want, rel=1e-9)
+    assert got == pytest.approx(0.8534621578099838, rel=1e-9)
+
+
+def test_meteor_stem_stage_golden():
+    """Stem-stage weighting: hyp 'the cats' vs ref 'the cat'.
+    'the' matches exactly (w=1.0), 'cats'~'cat' via Porter stems
+    (w=0.6): mw = 1.6, m = 2, 1 chunk (both pairs adjacent in both).
+    P = R = 1.6/2 = 0.8 -> Fmean = 0.8; Pen = 0.5*(1/2)^3 = 0.0625;
+    score = 0.8 * 0.9375 = 0.75.
+    """
+    assert meteor({1: ["the cat"]}, {1: ["the cats"]}) == \
+        pytest.approx(0.75, rel=1e-9)
+
+
+def test_porter_stem_matches_nltk_original_algorithm():
+    """stem.py implements the classic Porter 1980 algorithm; nltk's
+    PorterStemmer in ORIGINAL_ALGORITHM mode is an independent
+    implementation of the same paper."""
+    from nltk.stem.porter import PorterStemmer
+    ps = PorterStemmer(mode=PorterStemmer.ORIGINAL_ALGORITHM)
+    words = ("caresses ponies ties caress cats feed agreed plastered bled "
+             "motoring sing conflated troubled sized hopping tanned falling "
+             "hissing fizzed failing filing happy sky relational conditional "
+             "rational valency hesitancy digitizer conformability radically "
+             "differently vileness analogousli operator feudalism "
+             "decisiveness hopefulness callousness formality sensitivity "
+             "sensibility triplicate formative formalize electricity "
+             "electrical hopeful goodness revival allowance inference "
+             "airliner gyroscopic adjustable defensible irritant replacement "
+             "adjustment dependent adoption homologou communism activate "
+             "angularity homologous effective bowdlerize probate rate cease "
+             "controlling rolling watching watched watches dialogue answer "
+             "question video audio speaking").split()
+    for w in words:
+        assert porter_stem(w) == ps.stem(w), w
+
+
+def test_meteor_exact_vs_stem_spread_on_dialogue_text():
+    """Quantifies the stem stage's contribution on DSTC7-like text (the
+    measured delta stated in docs/PARITY.md C14): the exact+stem score
+    must dominate exact-only, and the spread stays small on short
+    dialogue answers."""
+    import mtn_tpu.evalmetrics.meteor as M
+    refs = {
+        1: ["a man is talking to the camera"],
+        2: ["she walks across the room and sits down"],
+        3: ["two people are cooking in the kitchen"],
+        4: ["yes he picks up the book and reads it"],
+        5: ["no there is no sound in the video"],
+    }
+    hyps = {
+        1: ["a man talks to the camera"],
+        2: ["she walked across the room and sat down"],
+        3: ["two people cook in a kitchen"],
+        4: ["he picked up a book and read"],
+        5: ["there is no sounds in this video"],
+    }
+    with_stem = meteor(refs, hyps)
+    orig = M.porter_stem
+    try:
+        # a stem key that never matches disables the stem stage entirely
+        M.porter_stem = lambda t: object()
+        exact_only = meteor(refs, hyps)
+    finally:
+        M.porter_stem = orig
+    assert with_stem >= exact_only
+    # measured once and pinned: exact+stem 0.6877 vs exact-only 0.5473
+    assert with_stem - exact_only == pytest.approx(0.14044, abs=1e-4)
