@@ -13,8 +13,8 @@ capability surface of the MTN reference (henryhungle/MTN, ACL'19):
                             and fused Pallas TPU kernels).
 - ``mtn_tpu.train``       — label-smoothed KL loss, Noam schedule (optax),
                             jitted mesh-aware train step.
-- ``mtn_tpu.decode``      — jit-compiled batched beam search (lax.while_loop,
-                            KV + auto-encoder caches).
+- ``mtn_tpu.decode``      — jit-compiled batched beam search (lax.scan over
+                            steps, KV + auto-encoder caches).
 - ``mtn_tpu.parallel``    — device mesh + sharding rules (dp/tp) over ICI.
 - ``mtn_tpu.evalmetrics`` — COCO-caption metrics (BLEU/METEOR/ROUGE-L/CIDEr)
                             in pure Python 3 plus DSTC7 format converters.

@@ -195,6 +195,11 @@ def main(argv=None):
         start_epoch = int(ep)  # interrupted epoch restarts (documented)
         logging.info("Resumed step checkpoint (step %d, epoch %d)",
                      int(state.step), start_epoch)
+        logging.warning(
+            "step-resume restarts epoch %d's data pass from its beginning: "
+            "params/opt_state/step are exact, but batches consumed before "
+            "the interruption are replayed with fresh cut_a draws",
+            start_epoch + 1)
     elif resume:
         state, ep = ckpt.restore(state, resume)
         start_epoch = int(ep)

@@ -51,8 +51,22 @@ def test_beam_matches_slow_reference(setup):
             assert ws == pytest.approx(gs, abs=1e-2)
 
 
-def test_beam_penalty_lengthens(setup):
+def test_beam_penalty_matches_oracle_exactly(setup):
+    """The penalty term (data_utils.py:214 length reward) changes which
+    completions win; both extremes must match the oracle token-for-token
+    (not just a directional length inequality)."""
     cfg, model, params, db = setup
+    for penalty in (0.0, 5.0):
+        dec = BeamDecoder(cfg, DecodeConfig(maxlen=8, beam=3, nbest=2,
+                                            penalty=penalty))
+        fast = dec.beam_batch(params, db)
+        for b in range(db.query.shape[0]):
+            want, _ = slow_beam(model, params, _row(db, b), PAD, SOS, EOS,
+                                UNK, maxlen=8, beam=3, penalty=penalty,
+                                nbest=2)
+            assert [t for t, _ in want] == fast[b].tokens, \
+                f"penalty={penalty} row {b}"
+    # and the documented consequence: a large reward lengthens the 1-best
     short = BeamDecoder(cfg, DecodeConfig(maxlen=8, beam=3, nbest=1,
                                           penalty=0.0))
     long = BeamDecoder(cfg, DecodeConfig(maxlen=8, beam=3, nbest=1,
