@@ -1,7 +1,8 @@
-"""Benchmark: full-test beam-decode throughput (the BASELINE.json metric).
+"""Benchmark: full-test beam-decode throughput (the BASELINE.json metric)
+plus train throughput and MFU, all on one TPU chip.
 
 Headline: beam-5 responses/sec on the flagship MTN config at DSTC7-scale
-shapes on one TPU chip, via the jit-compiled batched cached beam decoder.
+shapes, via the jit-compiled batched cached beam decoder.
 
 Baseline: the reference publishes no speed numbers (BASELINE.md), so the
 baseline is self-measured on the SAME chip: a faithful proxy of the
@@ -12,8 +13,21 @@ host<->device round trip per hypothesis per step, exactly like the
 reference's .cpu() sync at data_utils.py:211). Both sides run through
 the same device transport, so the ratio reflects the algorithmic gap
 (turn batching + KV/AE caching + on-device beam) on equal footing.
+More than half of each proxy turn is *measured* (PROXY_STEPS of MAXLEN
+steps timed; the remainder extrapolated linearly — per-step cost is
+constant since the proxy always pads to MAXLEN). The actual torch
+reference was additionally timed on this host's CPU with
+scripts/bench_reference_torch.py; see docs/BENCH.md.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+MFU: FLOP counts come from XLA's own cost model on the exact compiled
+programs (compiled.cost_analysis()['flops']), divided by measured wall
+time and the chip's bf16 peak. MTN is a small model (d512) decoded in
+1-token steps, so decode MFU is structurally low (latency-/HBM-bound,
+not MXU-bound) — docs/BENCH.md gives the roofline argument.
+
+Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "train_tokens_per_sec",
+ "train_steps_per_sec", "mfu_train", "mfu_decode"}.
 """
 
 from __future__ import annotations
@@ -32,15 +46,41 @@ MAXLEN = 30
 NBEST = 5
 SHAPES = dict(Lq=32, Lh=128, Lc=64, La=24, T=(64, 32))
 N_BATCHES = 8          # timed batches for our decoder
-PROXY_TURNS = 2        # timed turns for the reference-style proxy
-PROXY_STEPS = 6        # proxy steps actually timed (extrapolated to MAXLEN)
+PROXY_TURNS = 3        # timed turns for the reference-style proxy
+PROXY_STEPS = 16       # proxy steps actually timed (extrapolated to MAXLEN)
+TRAIN_BATCH = 32       # run.sh default batch size
+TRAIN_STEPS = 12       # timed train steps
+
+# bf16 peak of one chip, by device_kind prefix (jax.devices()[0])
+_PEAK_BF16 = {
+    "TPU v5 lite": 197e12,   # v5e: 197 TFLOP/s bf16
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6": 918e12,        # v6e (Trillium)
+}
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for prefix, peak in _PEAK_BF16.items():
+        if kind.startswith(prefix):
+            return peak
+    return 197e12  # assume v5e (the SURVEY target chip)
+
+
+def _flops_of(compiled) -> float:
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0))
 
 
 def main():
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_cfg, _synthetic_batch
-    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.config import DecodeConfig, TrainConfig
     from mtn_tpu.decode.beam import BeamDecoder
     from mtn_tpu.models.mtn import MTN
     from mtn_tpu.ops.masks import causal_mask
@@ -57,6 +97,7 @@ def main():
         {"params": r}, db.query, db.his, db.cap, db.fts, masks,
         db.answer_in, tgt_mask, method=MTN.init_all)["params"])(
             jax.random.PRNGKey(0))
+    peak = _peak_flops(jax.devices()[0])
 
     # ---- ours: batched cached beam --------------------------------------
     # NOTE: on this setup device calls go through a network relay;
@@ -66,8 +107,9 @@ def main():
 
     dec = BeamDecoder(cfg, DecodeConfig(maxlen=MAXLEN, beam=BEAM,
                                         nbest=NBEST))
-    fn = dec._build_beam()
-    _ = [np.asarray(x) for x in fn(params, db)]   # compile + warmup
+    beam_compiled = dec._build_beam().lower(params, db).compile()
+    beam_flops = _flops_of(beam_compiled)
+    _ = [np.asarray(x) for x in beam_compiled(params, db)]   # warmup
     batches = []
     for i in range(N_BATCHES):                    # distinct inputs, built
         db_i = dataclasses.replace(                # outside the timed loop
@@ -76,10 +118,37 @@ def main():
             lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
             else x, db_i))
     t0 = time.time()
-    outs = [fn(params, db_i) for db_i in batches]
+    outs = [beam_compiled(params, db_i) for db_i in batches]
     _ = [np.asarray(o[0]) for o in outs]          # drain the pipeline
     ours_sec = time.time() - t0
     ours_rps = TURN_BATCH * N_BATCHES / ours_sec
+    mfu_decode = beam_flops * N_BATCHES / ours_sec / peak
+
+    # ---- train step: throughput + MFU ------------------------------------
+    from mtn_tpu.train.trainer import Trainer
+
+    tdb = _synthetic_batch(rng, B=TRAIN_BATCH, Lq=SHAPES["Lq"],
+                           Lh=SHAPES["Lh"], Lc=SHAPES["Lc"],
+                           La=SHAPES["La"], ft_sizes=cfg.ft_sizes,
+                           T=SHAPES["T"])
+    trainer = Trainer(cfg, TrainConfig(warmup_steps=9660))
+    state = trainer.init_state(jax.random.PRNGKey(1), tdb)
+    base_rng = jax.random.PRNGKey(2)
+    tstep = trainer._build_train_step()
+    train_compiled = tstep.lower(state, tdb, base_rng).compile()
+    train_flops = _flops_of(train_compiled)
+    state, m = train_compiled(state, tdb, base_rng)   # warmup (donates old)
+    _ = np.asarray(m["loss"])
+    t0 = time.time()
+    for _ in range(TRAIN_STEPS):
+        state, m = train_compiled(state, tdb, base_rng)
+    _ = np.asarray(m["loss"])                     # force completion
+    train_sec = time.time() - t0
+    steps_per_sec = TRAIN_STEPS / train_sec
+    # answer tokens/sec, the reference's tokens/sec meaning (train.py:45-48)
+    ans_tokens = int(np.asarray(jnp.sum(tdb.answer_out != 1)))
+    train_tokens_per_sec = ans_tokens * steps_per_sec
+    mfu_train = train_flops * TRAIN_STEPS / train_sec / peak
 
     # ---- baseline proxy: reference-style batch-1 no-cache beam ----------
     row = jax.tree.map(
@@ -102,7 +171,6 @@ def main():
     tgt = jnp.full((1, Lpad), 1, jnp.int32).at[0, 0].set(2)
     jax.block_until_ready(full_forward(params, tgt, 0))  # compile
     t0 = time.time()
-    hyps = [list() for _ in range(BEAM)]
     for turn in range(PROXY_TURNS):
         n_hyp = 1
         for step in range(PROXY_STEPS):
@@ -122,6 +190,10 @@ def main():
         "value": round(ours_rps, 3),
         "unit": "responses/sec",
         "vs_baseline": round(ours_rps / proxy_rps, 2),
+        "train_tokens_per_sec": round(train_tokens_per_sec, 1),
+        "train_steps_per_sec": round(steps_per_sec, 2),
+        "mfu_train": round(mfu_train, 4),
+        "mfu_decode": round(mfu_decode, 4),
     }))
 
 
