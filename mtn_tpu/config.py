@@ -36,8 +36,16 @@ class ModelConfig:
     dtype: str = "float32"        # compute dtype: 'float32' | 'bfloat16'
     param_dtype: str = "float32"
     max_len: int = 5000           # positional-encoding table length (mtn.py:293)
-    use_pallas_attention: bool = False  # fused Pallas MHA on TPU hot path
-    use_pallas_ffn: bool = False        # fused Pallas FFN on TPU hot path
+    # Both Pallas kernels are opt-in, by measurement (docs/BENCH.md
+    # "Pallas kernels", scripts/bench_pallas.py): at MTN's flagship
+    # shapes fused XLA is faster for attention (Lq<=64: 0.80-0.88x) and
+    # equal end-to-end for the FFN (beam A/B: 423.9 vs 423.8 rps), so
+    # enabling them by default would buy nothing and (FFN) perturb bf16
+    # beam numerics vs the proven-parity XLA program. The kernels win at
+    # larger shapes (attention from ~(128,128): 1.69x bwd) — available
+    # for longer-sequence configs.
+    use_pallas_attention: bool = False
+    use_pallas_ffn: bool = False
 
     @property
     def n_streams(self) -> int:

@@ -27,6 +27,13 @@ ROW_BLOCK = 256
 
 
 def supports(n_rows: int, d_model: int, d_ff: int, itemsize: int) -> bool:
+    # measured on v5e (scripts/bench_pallas.py, d512/ff2048 bf16): the
+    # kernel wins at single-block row counts (160 rows: 1.49x — the beam
+    # decode step) and loses once the row grid loops (1056 rows: 0.70x,
+    # 4096: 0.54x — XLA's multi-pass tiling beats weights-resident
+    # looping there), so dispatch only takes the single-block case
+    if n_rows > ROW_BLOCK:
+        return False
     weights = (d_model * d_ff * 2 + d_ff + d_model) * itemsize
     acts = ROW_BLOCK * (2 * d_model + d_ff) * 4
     return weights + acts < 12 * 1024 * 1024

@@ -61,7 +61,8 @@ mesh_model=1
 turn_batch=32
 length_bucket=32
 feature_bucket=32
-use_pallas_attention=0
+use_pallas_attention=0  # opt-in: slower at flagship shapes (docs/BENCH.md)
+use_pallas_ffn=0        # opt-in: e2e-neutral at flagship shapes (BENCH.md)
 uniform_shapes_train=0  # 1: single compiled train step (pad to maxima)
 uniform_shapes_decode=1 # 1: single compiled beam program (pad to maxima)
 
@@ -146,6 +147,7 @@ if [ $stage -le 2 ]; then
       --length-bucket ${length_bucket} \
       --feature-bucket ${feature_bucket} \
       --use-pallas-attention ${use_pallas_attention} \
+      --use-pallas-ffn ${use_pallas_ffn} \
       --uniform-shapes ${uniform_shapes_train}
 fi
 
@@ -176,6 +178,7 @@ if [ $stage -le 3 ]; then
           --turn-batch ${turn_batch} \
           --dtype ${dtype} \
           --use-pallas-attention ${use_pallas_attention} \
+          --use-pallas-ffn ${use_pallas_ffn} \
           --uniform-shapes ${uniform_shapes_decode}
     done
 fi

@@ -90,8 +90,11 @@ def test_model_with_pallas_matches(monkeypatch):
     from tests.test_model import _random_batch, PAD
     rng = np.random.default_rng(4)
     db = _random_batch(rng)
-    cfg_x = tiny_model_cfg(30, (12, 8), dropout=0.0)
-    cfg_p = tiny_model_cfg(30, (12, 8), dropout=0.0,
+    # use_pallas_ffn off on both: this test isolates the attention kernel
+    # (the default_backend patch above would otherwise engage the FFN
+    # kernel non-interpreted on CPU)
+    cfg_x = tiny_model_cfg(30, (12, 8), dropout=0.0, use_pallas_ffn=False)
+    cfg_p = tiny_model_cfg(30, (12, 8), dropout=0.0, use_pallas_ffn=False,
                            use_pallas_attention=True)
     masks, tgt_mask = batch_masks(db, PAD)
     model_x, model_p = MTN(cfg_x), MTN(cfg_p)

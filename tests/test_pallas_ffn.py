@@ -26,10 +26,21 @@ def _mats(rng, N, D, F, dtype=np.float32):
 def test_matches_xla(N):
     rng = np.random.default_rng(0)
     x, w1, b1, w2, b2 = _mats(rng, N, 16, 32)
-    got = pf.fused_ffn(x, w1, b1, w2, b2)
+    # call the kernel directly: the fused_ffn dispatch gate only takes
+    # single-block row counts (where it measured faster), but the kernel
+    # itself must stay correct for any N incl. the looping grid
+    got = pf._fused(x, w1, b1, w2, b2)
     want = pf._xla_ffn(x, w1, b1, w2, b2)
     assert got.shape == (N, 16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_dispatch_gate_rows():
+    """supports() takes single-block row counts only (measured policy)."""
+    assert pf.supports(160, 512, 2048, 2)
+    assert pf.supports(256, 512, 2048, 2)
+    assert not pf.supports(257, 512, 2048, 2)
+    assert not pf.supports(1056, 512, 2048, 2)
 
 
 def test_3d_input():
@@ -59,7 +70,7 @@ def test_model_with_pallas_ffn_matches():
     from tests.test_model import _random_batch, PAD
     rng = np.random.default_rng(3)
     db = _random_batch(rng)
-    cfg_x = tiny_model_cfg(30, (12, 8), dropout=0.0)
+    cfg_x = tiny_model_cfg(30, (12, 8), dropout=0.0, use_pallas_ffn=False)
     cfg_p = tiny_model_cfg(30, (12, 8), dropout=0.0, use_pallas_ffn=True)
     masks, tgt_mask = batch_masks(db, PAD)
     mx, mp = MTN(cfg_x), MTN(cfg_p)
