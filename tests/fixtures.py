@@ -50,7 +50,8 @@ class TinyCorpus:
 
 def write_tiny_corpus(root: Path, n_dialogs=6, n_turns=3,
                       fea_types=("i3d_rgb", "vggish"),
-                      ft_dims=(32, 16), seed=0) -> TinyCorpus:
+                      ft_dims=(32, 16), seed=0,
+                      frames=(4, 12)) -> TinyCorpus:
     rng = np.random.default_rng(seed)
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
@@ -72,7 +73,7 @@ def write_tiny_corpus(root: Path, n_dialogs=6, n_turns=3,
     for ftype, dim in zip(fea_types, ft_dims):
         os.makedirs(root / ftype, exist_ok=True)
         for vid in vids:
-            n_frames = int(rng.integers(4, 12))
+            n_frames = int(rng.integers(*frames))
             arr = rng.standard_normal((n_frames, dim)).astype(np.float32)
             np.save(root / ftype / f"{vid}.npy", arr)
     return TinyCorpus(
