@@ -36,6 +36,13 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         help="data-parallel mesh axis size (-1: all devices)")
     parser.add_argument("--mesh-model", default=1, type=int,
                         help="tensor-parallel mesh axis size")
+    parser.add_argument("--feature-transfer", default="",
+                        choices=["", "bfloat16", "int8"],
+                        help="host->device feature transfer precision "
+                             "(default: the compute dtype; int8 ships "
+                             "quantized features + f32 row scales and "
+                             "dequantizes on device — for transfer-bound "
+                             "hosts)")
     parser.add_argument("--length-bucket", default=32, type=int,
                         help="round text lengths up to this multiple")
     parser.add_argument("--feature-bucket", default=32, type=int,

@@ -75,9 +75,10 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
 
     vlist = vocab_list(vocab)
     decoder = BeamDecoder(model_cfg, decode_cfg, mesh=mesh)
+    transfer = decode_cfg.feature_transfer or model_cfg.dtype
 
     def to_device(hb):
-        db = device_batch(hb, model_cfg.dtype)
+        db = device_batch(hb, transfer)
         return shardings.put_batch(db) if shardings is not None else db
     # length-sorted plans pack similar turns together (padding efficiency);
     # qa_ids map results back to dialogue order
@@ -269,7 +270,8 @@ def main(argv=None):
         nbest=args.nbest, decode_style=args.decode_style,
         undisclosed_only=bool(args.undisclosed_only),
         labeled_test=args.labeled_test, turn_batch=args.turn_batch,
-        uniform_shapes=bool(args.uniform_shapes))
+        uniform_shapes=bool(args.uniform_shapes),
+        feature_transfer=args.feature_transfer)
     ref_data = None
     if args.undisclosed_only and args.labeled_test:
         with open(args.labeled_test) as f:

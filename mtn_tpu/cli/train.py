@@ -159,7 +159,7 @@ def main(argv=None):
         max_length=args.max_length, cut_a=bool(args.cut_a),
         vocab_cutoff=args.vocab_cutoff, length_bucket=args.length_bucket,
         feature_bucket=args.feature_bucket, prefetch=args.prefetch,
-        feature_dtype=args.dtype)
+        feature_dtype=args.feature_transfer or args.dtype)
     train_cfg = TrainConfig(
         num_epochs=args.num_epochs, batch_size=args.batch_size,
         warmup_steps=args.warmup_steps, loss_l=args.loss_l,

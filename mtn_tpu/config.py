@@ -116,6 +116,10 @@ class DecodeConfig:
     # maxima so the whole decode runs ONE compiled program. Padding is
     # compute-cheap on TPU; recompiles are not.
     uniform_shapes: bool = True
+    # '' (compute dtype) | 'bfloat16' | 'int8': host->device feature
+    # transfer precision; int8 ships row-quantized features + f32 scales
+    # and dequantizes on device (for transfer-bound hosts).
+    feature_transfer: str = ""
 
 
 def _to_jsonable(obj: Any) -> Any:

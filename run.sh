@@ -63,6 +63,7 @@ length_bucket=32
 feature_bucket=32
 use_pallas_attention=0  # opt-in: slower at flagship shapes (docs/BENCH.md)
 use_pallas_ffn=0        # opt-in: e2e-neutral at flagship shapes (BENCH.md)
+feature_transfer=""     # ''|bfloat16|int8: host->device feature precision
 uniform_shapes_train=0  # 1: single compiled train step (pad to maxima)
 uniform_shapes_decode=1 # 1: single compiled beam program (pad to maxima)
 
@@ -148,6 +149,7 @@ if [ $stage -le 2 ]; then
       --feature-bucket ${feature_bucket} \
       --use-pallas-attention ${use_pallas_attention} \
       --use-pallas-ffn ${use_pallas_ffn} \
+      --feature-transfer "${feature_transfer}" \
       --uniform-shapes ${uniform_shapes_train}
 fi
 
@@ -179,6 +181,7 @@ if [ $stage -le 3 ]; then
           --dtype ${dtype} \
           --use-pallas-attention ${use_pallas_attention} \
           --use-pallas-ffn ${use_pallas_ffn} \
+          --feature-transfer "${feature_transfer}" \
           --uniform-shapes ${uniform_shapes_decode}
     done
 fi

@@ -230,3 +230,31 @@ def test_checkpoint_keep_prunes_meta(tmp_path, ds):
         assert os.path.isdir(os.path.join(str(tmp_path / "m") + "_ckpt",
                                           f"epoch_{e}"))
     assert 4 in meta["epochs"]
+
+
+def test_int8_feature_transfer_close_and_decodes(ds):
+    """--feature-transfer int8: quantized transfer + on-device dequant
+    must stay within the row-absmax quantization bound and leave the
+    decode path functional."""
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.data.batching import make_batch
+    from mtn_tpu.decode.beam import BeamDecoder
+    from mtn_tpu.train.batch import device_batch
+    from mtn_tpu.train.trainer import Trainer
+    from tests.fixtures import tiny_model_cfg
+    plans, _ = make_batch_indices(ds, 4, 64, separate_caption=True)
+    hb = make_batch(ds, plans[0], separate_caption=True)
+    db_f = device_batch(hb)
+    db_q = device_batch(hb, "int8")
+    for f, q in zip(db_f.fts, db_q.fts):
+        f = np.asarray(f, np.float32)
+        q = np.asarray(q, np.float32)
+        # row-absmax int8 + bf16 dequant: <= ~1/127 relative per frame
+        bound = np.abs(f).max(axis=-1, keepdims=True) / 100.0 + 1e-6
+        assert np.all(np.abs(f - q) <= bound)
+    cfg = tiny_model_cfg(len(ds.vocab), ds.feature_dims(), dropout=0.0)
+    tr = Trainer(cfg, TrainConfig(warmup_steps=10))
+    st = tr.init_state(jax.random.PRNGKey(0), db_f)
+    dec = BeamDecoder(cfg, DecodeConfig(maxlen=3, beam=2, nbest=1))
+    res = dec.beam_batch(st.params, db_q)
+    assert len(res) == int(np.asarray(db_q.valid).sum())
