@@ -51,19 +51,22 @@ PROXY_STEPS = 16       # proxy steps actually timed (extrapolated to MAXLEN)
 TRAIN_BATCH = 32       # run.sh default batch size
 TRAIN_STEPS = 12       # timed train steps
 
-# bf16 peak of one chip, by device_kind prefix (jax.devices()[0])
-_PEAK_BF16 = {
-    "TPU v5 lite": 197e12,   # v5e: 197 TFLOP/s bf16
-    "TPU v5e": 197e12,
-    "TPU v5p": 459e12,
-    "TPU v4": 275e12,
-    "TPU v6": 918e12,        # v6e (Trillium)
-}
+# bf16 peak of one chip, by device_kind prefix (jax.devices()[0]).
+# Ordered: libtpu reports v5e as "TPU v5 lite" but v5p as plain "TPU v5",
+# so the more specific prefixes must be tried first.
+_PEAK_BF16 = [
+    ("TPU v5 lite", 197e12),   # v5e: 197 TFLOP/s bf16
+    ("TPU v5e", 197e12),
+    ("TPU v5p", 459e12),
+    ("TPU v5", 459e12),        # plain "TPU v5" = v5p
+    ("TPU v4", 275e12),
+    ("TPU v6", 918e12),        # v6e (Trillium)
+]
 
 
 def _peak_flops(device) -> float:
     kind = getattr(device, "device_kind", "")
-    for prefix, peak in _PEAK_BF16.items():
+    for prefix, peak in _PEAK_BF16:
         if kind.startswith(prefix):
             return peak
     return 197e12  # assume v5e (the SURVEY target chip)

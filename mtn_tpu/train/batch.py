@@ -37,14 +37,17 @@ class DeviceBatch:
 
 @jax.jit
 def _dequant_int8(q, scale):
-    """(B,T,D) int8 × (B,T,1) f32 row scales -> bf16 features on device."""
-    return q.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
+    """(B,T,D) int8 × (B,T,1) f32 row scales -> f32 features on device.
+
+    Dequantizes in float32 so the only error is the int8 rounding itself
+    (the model casts to its compute dtype downstream, mtn.py encode)."""
+    return q.astype(jnp.float32) * scale
 
 
 def _int8_transfer(f: np.ndarray) -> jnp.ndarray:
     """Quantize per frame on the host, ship int8 + f32 scales (≈¼ the
-    f32 bytes, ½ of bf16), dequantize to bf16 on device. Row-wise absmax
-    scaling keeps the relative error ≤ 1/254 per frame — opt-in for
+    f32 bytes, ½ of bf16), dequantize on device. Row-wise absmax scaling
+    keeps the relative error ≤ 1/254 per frame — opt-in for
     transfer-bound hosts (docs/BENCH.md)."""
     scale = np.abs(f).max(axis=-1, keepdims=True).astype(np.float32) / 127.0
     np.maximum(scale, 1e-12, out=scale)

@@ -179,6 +179,8 @@ if [ $stage -le 3 ]; then
           --labeled-test ${labeled_test} \
           --turn-batch ${turn_batch} \
           --dtype ${dtype} \
+          --mesh-data ${mesh_data} \
+          --mesh-model ${mesh_model} \
           --use-pallas-attention ${use_pallas_attention} \
           --use-pallas-ffn ${use_pallas_ffn} \
           --feature-transfer "${feature_transfer}" \

@@ -34,13 +34,19 @@ def main(n_turns: int = 3, maxlen: int = 30):
     import numpy as np
     import torch
 
-    if "torchtext" not in sys.modules:  # vestigial import (data_utils.py:8)
+    # same compat shim as tests/test_pipeline_parity.py::ref_run (keep in
+    # sync): torchtext stub for the vestigial import (data_utils.py:8),
+    # .cuda() no-ops, and torch.load defaulting to full-pickle CPU loads
+    if "torchtext" not in sys.modules:
         tt = types.ModuleType("torchtext")
         tt.data = types.SimpleNamespace(Iterator=object, batch=None)
         tt.datasets = types.SimpleNamespace()
         sys.modules["torchtext"] = tt
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
+    _load = torch.load
+    torch.load = lambda *a, **k: _load(
+        *a, **{**k, "weights_only": False, "map_location": "cpu"})
     sys.path.insert(0, REF)
     import data_utils as ref_du
     import mtn as ref_mtn

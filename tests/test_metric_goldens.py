@@ -195,5 +195,9 @@ def test_meteor_exact_vs_stem_spread_on_dialogue_text():
     finally:
         M.porter_stem = orig
     assert with_stem >= exact_only
-    # measured once and pinned: exact+stem 0.6877 vs exact-only 0.5473
-    assert with_stem - exact_only == pytest.approx(0.14044, abs=1e-4)
+    # characterization, not an external golden (none exists for this):
+    # measured exact+stem 0.6877 vs exact-only 0.5473 — the stem stage
+    # contributes on the order of +0.1 METEOR on inflection-heavy text.
+    # The window is loose on purpose so legitimate float/stemmer tweaks
+    # don't trip it while a broken stage (delta ~0 or huge) still does.
+    assert 0.05 < with_stem - exact_only < 0.25
