@@ -120,6 +120,9 @@ class DecodeConfig:
     # transfer precision; int8 ships row-quantized features + f32 scales
     # and dequantizes on device (for transfer-bound hosts).
     feature_transfer: str = ""
+    # lax.scan unroll factor for the decode step loop: >1 trades program
+    # size (and compile time) for less per-step loop overhead.
+    scan_unroll: int = 1
 
 
 def _to_jsonable(obj: Any) -> Any:

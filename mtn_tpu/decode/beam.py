@@ -158,7 +158,8 @@ class BeamDecoder:
 
             carry = (tok_buf, scores, self_kv, comp_scores, comp_buf,
                      comp_len)
-            carry, _ = jax.lax.scan(step, carry, jnp.arange(maxlen))
+            carry, _ = jax.lax.scan(step, carry, jnp.arange(maxlen),
+                                    unroll=cfg.scan_unroll)
             _, _, _, comp_scores, comp_buf, comp_len = carry
             return comp_scores, comp_buf, comp_len
 
@@ -189,7 +190,8 @@ class BeamDecoder:
                 return (toks, self_kv), None
 
             (toks, _), _ = jax.lax.scan(step, (toks, self_kv),
-                                        jnp.arange(maxlen))
+                                        jnp.arange(maxlen),
+                                        unroll=self.cfg.scan_unroll)
             return toks
 
         if self.mesh is not None:

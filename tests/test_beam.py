@@ -152,3 +152,16 @@ def test_nbest_exceeds_beam(setup):
     for r in res:
         assert 1 <= len(r.tokens) <= 6
         assert r.scores == sorted(r.scores, reverse=True)
+
+
+def test_scan_unroll_preserves_semantics(setup):
+    """unroll>1 is a scheduling knob; tokens and scores must be
+    identical to the unroll=1 program."""
+    cfg, model, params, db = setup
+    base = BeamDecoder(cfg, DecodeConfig(maxlen=6, beam=3, nbest=3))
+    unrolled = BeamDecoder(cfg, DecodeConfig(maxlen=6, beam=3, nbest=3,
+                                             scan_unroll=3))
+    for a, b in zip(base.beam_batch(params, db),
+                    unrolled.beam_batch(params, db)):
+        assert a.tokens == b.tokens
+        assert a.scores == pytest.approx(b.scores, abs=1e-5)
