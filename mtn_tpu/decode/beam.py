@@ -135,9 +135,17 @@ class BeamDecoder:
                 cand = scores[:, :, None] + logp
                 cand = cand.at[:, :, unk].set(NEG_INF)
                 cand = cand.at[:, :, eos].set(NEG_INF)
-                scores, idx = jax.lax.top_k(cand.reshape(B, beam * V), beam)
-                parent = idx // V
-                token = (idx % V).astype(jnp.int32)
+                # two-stage top-k: each parent contributes at most `beam`
+                # winners, so top-beam per parent then top-beam over the
+                # beam^2 survivors selects exactly the global top-beam
+                # (ties keep the same parent-major preference order as a
+                # flat top-k over beam*V)
+                v1, i1 = jax.lax.top_k(cand.reshape(B * beam, V), beam)
+                scores, idx2 = jax.lax.top_k(
+                    v1.reshape(B, beam * beam), beam)
+                parent = idx2 // beam
+                token = jnp.take_along_axis(
+                    i1.reshape(B, beam * beam), idx2, axis=1).astype(jnp.int32)
                 tok_buf = jnp.take_along_axis(tok_buf, parent[:, :, None],
                                               axis=1)
                 write = jnp.arange(maxlen + 1)[None, None, :] == (l + 1)
