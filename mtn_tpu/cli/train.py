@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "maxima: ONE compiled train step (more padding "
                              "compute, zero recompiles — useful when "
                              "compiles are expensive)")
+    parser.add_argument("--multihost", default="", type=str,
+                        help="join a multi-host run: 'auto' (TPU pod) or "
+                             "'host:port,nprocs,procid' — dp shards span "
+                             "hosts over DCN; each host transfers only its "
+                             "rows of every batch (parallel/multihost.py)")
     add_tpu_args(parser)
     add_logging_args(parser)
     return parser
@@ -79,6 +84,9 @@ def main(argv=None):
                                     setup_logging)
     setup_logging(args.verbose)
     print_args(args)
+    if args.multihost:
+        from mtn_tpu.parallel.multihost import initialize_from_flag
+        initialize_from_flag(args.multihost)
     import jax
     from mtn_tpu.config import DataConfig, ModelConfig, TrainConfig
     from mtn_tpu.data import get_vocabulary, load, make_batch_indices
@@ -170,15 +178,16 @@ def main(argv=None):
     trainer = Trainer(model_cfg, train_cfg, mesh=mesh, shardings=shardings,
                       feature_dtype=data_cfg.feature_dtype)
 
+    primary = jax.process_index() == 0
     os.makedirs(os.path.dirname(args.model) or ".", exist_ok=True)
     ckpt = CheckpointManager(args.model)
     ckpt.save_conf(vocab, model=model_cfg, data=data_cfg, train=train_cfg)
-    dump_params_txt(args.model + "_params.txt", vars(args))
-    logs = TraceLogger(args.model, resume=bool(args.resume))
+    if primary:
+        dump_params_txt(args.model + "_params.txt", vars(args))
+    logs = TraceLogger(args.model, resume=bool(args.resume), primary=primary)
     logging.info("Saving training results to %s", logs.train_csv.path)
 
     rng = jax.random.PRNGKey(args.rand_seed)
-    np_rng = np.random.default_rng(args.rand_seed)
     init_it = BatchIterator(train_data, train_plans[:1], data_cfg,
                             train=False, prefetch=0)
     from mtn_tpu.train.batch import device_batch
@@ -190,16 +199,16 @@ def main(argv=None):
     resume = args.resume
     if resume == "auto":
         resume = "latest" if ckpt.latest_epoch() is not None else None
+    resume_batch = 0
     if resume == "step":
-        state, ep = ckpt.restore_step(state)
-        start_epoch = int(ep)  # interrupted epoch restarts (documented)
-        logging.info("Resumed step checkpoint (step %d, epoch %d)",
-                     int(state.step), start_epoch)
-        logging.warning(
-            "step-resume restarts epoch %d's data pass from its beginning: "
-            "params/opt_state/step are exact, but batches consumed before "
-            "the interruption are replayed with fresh cut_a draws",
-            start_epoch + 1)
+        state, ep, resume_batch = ckpt.restore_step(state)
+        start_epoch = int(ep)
+        logging.info(
+            "Resumed step checkpoint (step %d): continuing epoch %d at "
+            "batch %d — exact resume (shuffle and cut_a draws are keyed "
+            "by (seed, epoch, batch), so the trajectory matches an "
+            "uninterrupted run)",
+            int(state.step), start_epoch + 1, resume_batch)
     elif resume:
         state, ep = ckpt.restore(state, resume)
         start_epoch = int(ep)
@@ -211,26 +220,31 @@ def main(argv=None):
     logging.info("----------------")
     min_valid_loss = float("inf")
     bestmodel_num = 0
-    from mtn_tpu.train.batch import device_batch as _device_batch
-    if shardings is not None:
-        to_device = lambda hb: shardings.put_batch(
-            _device_batch(hb, data_cfg.feature_dtype))
-    else:
-        to_device = lambda hb: _device_batch(hb, data_cfg.feature_dtype)
+    from mtn_tpu.train.batch import to_device_fn
+    to_device = to_device_fn(data_cfg.feature_dtype, shardings)
     base_rng = jax.random.PRNGKey(args.rand_seed + 1)
     with profiling.trace(args.profile_dir):
         for epoch in range(start_epoch, args.num_epochs):
-            it = BatchIterator(train_data, shuffled(train_plans, np_rng),
-                               data_cfg, train=True, rng=np_rng,
-                               transform=to_device)
+            # epoch shuffle and per-batch cut_a draws are keyed by
+            # (seed, epoch[, batch]) — pure functions, not a sequential
+            # stream — so a `--resume step` run can skip the consumed
+            # prefix and still reproduce an uninterrupted trajectory
+            plans_ep = shuffled(train_plans,
+                                np.random.default_rng(
+                                    [args.rand_seed, epoch]))
+            start_b = resume_batch if epoch == start_epoch else 0
+            it = BatchIterator(train_data, plans_ep[start_b:],
+                               data_cfg, train=True,
+                               seed_key=(args.rand_seed, epoch),
+                               start=start_b, transform=to_device)
             state, train_loss = trainer.run_epoch(
                 state, it, base_rng, train=True,
-                report_fn=lambda step, loss, tps: (
+                report_fn=lambda step, loss, tps, s0=start_b: (
                     print("Epoch: %d Step: %d Loss: %f Tokens per Sec: %f"
-                          % (epoch + 1, step, loss, tps)),
-                    logs.train_step(epoch + 1, step, loss, tps)),
-                step_callback=(lambda st, j, e=epoch:
-                               ckpt.save_step(st, e)),
+                          % (epoch + 1, s0 + step, loss, tps)),
+                    logs.train_step(epoch + 1, s0 + step, loss, tps)),
+                step_callback=(lambda st, j, e=epoch, s0=start_b:
+                               ckpt.save_step(st, e, s0 + j)),
                 step_callback_every=args.checkpoint_every_steps)
             logging.info("epoch: %d  train loss: %f", epoch + 1, train_loss)
             logging.info("-------validation--------")

@@ -29,7 +29,9 @@ class BatchIterator:
                  cfg: DataConfig, train: bool,
                  rng: Optional[np.random.Generator] = None,
                  prefetch: Optional[int] = None,
-                 transform=None):
+                 transform=None,
+                 seed_key: Optional[Sequence[int]] = None,
+                 start: int = 0):
         self.data = data
         self.plans = list(plans)
         self.cfg = cfg
@@ -39,13 +41,23 @@ class BatchIterator:
         # applied in the producer thread — e.g. device_batch, so the
         # host->device transfer overlaps the previous step's compute
         self.transform = transform
+        # Keyed per-batch randomness: batch i draws from
+        # default_rng([*seed_key, start + i]) instead of a shared
+        # sequential stream. This makes the stochastic augmentation
+        # (cut_a) a pure function of (seed, epoch, absolute batch index),
+        # so a mid-epoch resume that skips the first `start` batches
+        # reproduces the exact draws of an uninterrupted run.
+        self.seed_key = tuple(seed_key) if seed_key is not None else None
+        self.start = start
 
-    def _make(self, plan: BatchPlan) -> HostBatch:
+    def _make(self, plan: BatchPlan, idx: int) -> HostBatch:
         cfg = self.cfg
+        rng = (np.random.default_rng((*self.seed_key, self.start + idx))
+               if self.seed_key is not None else self.rng)
         hb = make_batch(
             self.data, plan, separate_caption=cfg.separate_caption,
             skip=cfg.skip, cut_a=(cfg.cut_a and self.train),
-            cut_a_p=cfg.cut_a_p, rng=self.rng,
+            cut_a_p=cfg.cut_a_p, rng=rng,
             length_bucket=cfg.length_bucket, feature_bucket=cfg.feature_bucket,
             pad_rows_to=(cfg.batch_size if cfg.pad_batch_to_full else 0),
             use_native_loader=cfg.use_native_loader)
@@ -56,16 +68,16 @@ class BatchIterator:
 
     def __iter__(self) -> Iterator[HostBatch]:
         if self.prefetch <= 0:
-            for plan in self.plans:
-                yield self._make(plan)
+            for i, plan in enumerate(self.plans):
+                yield self._make(plan, i)
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         err: List[BaseException] = []
 
         def producer():
             try:
-                for plan in self.plans:
-                    q.put(self._make(plan))
+                for i, plan in enumerate(self.plans):
+                    q.put(self._make(plan, i))
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:

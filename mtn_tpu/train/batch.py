@@ -77,6 +77,15 @@ def device_batch(hb: HostBatch,
     )
 
 
+def to_device_fn(feature_dtype: str = "float32", shardings=None):
+    """HostBatch -> DeviceBatch transfer closure shared by the CLIs:
+    `device_batch` with the configured feature transfer dtype, then
+    `shardings.put_batch` when running under a mesh."""
+    if shardings is None:
+        return lambda hb: device_batch(hb, feature_dtype)
+    return lambda hb: shardings.put_batch(device_batch(hb, feature_dtype))
+
+
 def batch_masks(b: DeviceBatch, pad: int) -> Tuple[SourceMasks, jnp.ndarray]:
     """Returns (source masks, target mask (B, La, La))."""
     masks = SourceMasks(

@@ -22,6 +22,12 @@ from mtn_tpu.train.trainer import TrainState
 
 
 class CheckpointManager:
+    """Multi-host aware: orbax save/restore calls are collective (all
+    processes participate), while direct filesystem mutations (rmtree,
+    rename, meta.json) run on process 0 only, fenced by device barriers
+    — correct for the shared-filesystem layout of a TPU pod
+    (parallel/multihost.py)."""
+
     def __init__(self, model_prefix: str):
         self.prefix = model_prefix
         self.dir = os.path.abspath(model_prefix + "_ckpt")
@@ -29,8 +35,20 @@ class CheckpointManager:
         self._ckptr = ocp.StandardCheckpointer()
         self._meta_path = os.path.join(self.dir, "meta.json")
 
+    @staticmethod
+    def _primary() -> bool:
+        return jax.process_index() == 0
+
+    @staticmethod
+    def _barrier(tag: str):
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(tag)
+
     # -- sidecar (vocab + configs) -----------------------------------------
     def save_conf(self, vocab: dict, **config_sections):
+        if not self._primary():
+            return
         from mtn_tpu.config import dump_config
         dump_config(self.prefix + ".conf.json", **config_sections)
         with open(self.prefix + ".vocab.json", "w") as f:
@@ -50,10 +68,14 @@ class CheckpointManager:
     def save(self, epoch, state: TrainState, val_loss: Optional[float] = None,
              keep: int = 0):
         path = self._epoch_dir(epoch)
-        if os.path.exists(path):
+        if self._primary() and os.path.exists(path):
             shutil.rmtree(path)
+        self._barrier(f"ckpt_epoch_rm_{epoch}")
         self._ckptr.save(path, state)
         self._ckptr.wait_until_finished()
+        if not self._primary():
+            self._barrier(f"ckpt_epoch_meta_{epoch}")
+            return
         meta = self._meta()
         meta["epochs"] = sorted(set(meta.get("epochs", []) + [epoch]))
         if val_loss is not None:
@@ -73,6 +95,7 @@ class CheckpointManager:
                                   if e not in pruned]
                 with open(self._meta_path, "w") as f:
                     json.dump(meta, f)
+        self._barrier(f"ckpt_epoch_meta_{epoch}")
 
     def _meta(self) -> dict:
         if os.path.exists(self._meta_path):
@@ -80,37 +103,46 @@ class CheckpointManager:
                 return json.load(f)
         return {}
 
-    def save_step(self, state: TrainState, epoch: int):
+    def save_step(self, state: TrainState, epoch: int, batch_idx: int = 0):
         """Step-indexed mid-epoch checkpoint (single rotating slot).
 
         The reference can only restart whole trainings (SURVEY §5). Resume
-        semantics: params/opt_state/step are exact; the interrupted epoch's
-        batch iteration restarts from its beginning (a documented trade-off
-        to avoid persisting the host-side shuffle iterator).
+        is exact: params/opt_state/step come from the checkpoint, and
+        ``batch_idx`` (number of batches already consumed in ``epoch``)
+        lets the trainer skip exactly those batches. Because the epoch
+        shuffle and per-batch cut_a draws are keyed by
+        (seed, epoch[, batch]) rather than a sequential stream
+        (cli/train.py, pipeline.BatchIterator seed_key), the resumed run
+        reproduces an uninterrupted run bit-for-bit.
         """
         path = os.path.join(self.dir, "step_latest")
         tmp = path + ".tmp"
-        if os.path.exists(tmp):
+        if self._primary() and os.path.exists(tmp):
             shutil.rmtree(tmp)
+        self._barrier(f"ckpt_step_rm_{int(state.step)}")
         self._ckptr.save(tmp, state)
         self._ckptr.wait_until_finished()
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
-        meta = self._meta()
-        meta["step"] = int(state.step)
-        meta["step_epoch"] = epoch
-        with open(self._meta_path, "w") as f:
-            json.dump(meta, f)
+        if self._primary():
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+            meta = self._meta()
+            meta["step"] = int(state.step)
+            meta["step_epoch"] = epoch
+            meta["step_batch"] = int(batch_idx)
+            with open(self._meta_path, "w") as f:
+                json.dump(meta, f)
+        self._barrier(f"ckpt_step_meta_{int(state.step)}")
 
     def restore_step(self, abstract_state: TrainState):
-        """Returns (state, epoch_of_interruption) or raises."""
+        """Returns (state, epoch_of_interruption, batches_consumed)."""
         path = os.path.join(self.dir, "step_latest")
         if not os.path.exists(path):
             raise FileNotFoundError(f"no step checkpoint under {self.dir}")
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
         state = self._ckptr.restore(path, target)
-        return state, self._meta().get("step_epoch", 0)
+        meta = self._meta()
+        return state, meta.get("step_epoch", 0), meta.get("step_batch", 0)
 
     def best_epoch(self):
         return self._meta().get("best_epoch")

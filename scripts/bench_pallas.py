@@ -15,7 +15,6 @@ Usage: python scripts/bench_pallas.py [iters]
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
 import time
@@ -28,7 +27,6 @@ ITERS = 100
 def _time_chained(fn, x0, *consts):
     """sec/op for y = fn(y, *consts) chained ITERS times inside one jit."""
     import jax
-    import jax.numpy as jnp
 
     @jax.jit
     def run(x0, consts):

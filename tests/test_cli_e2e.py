@@ -251,10 +251,26 @@ def test_cli_step_checkpointing(tiny_corpus, tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(prefix + "_ckpt", "step_latest"))
     meta = json.load(open(os.path.join(prefix + "_ckpt", "meta.json")))
-    assert meta["step"] > 0
-    # resume from the step checkpoint
+    assert meta["step"] > 0 and meta["step_batch"] > 0
+
+    def epoch1_tree():
+        import orbax.checkpoint as ocp
+        tree = ocp.PyTreeCheckpointer().restore(
+            os.path.join(prefix + "_ckpt", "epoch_1"))
+        import jax
+        return [np.asarray(x) for x in jax.tree.leaves(tree)]
+
+    full = epoch1_tree()
+    # resume from the mid-epoch step checkpoint: replays only the
+    # remaining batches, yet must land on the *same* epoch-1 state as
+    # the uninterrupted run (exact resume: keyed shuffle/cut_a draws +
+    # dropout rng folded by global step)
     rc = train_main(common + ["--num-epochs", "1", "--resume", "step"])
     assert rc == 0
+    resumed = epoch1_tree()
+    assert len(full) == len(resumed)
+    for a, b in zip(full, resumed):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_run_sh_stage4_falls_back_to_shipped_eval_spelling(tmp_path):

@@ -42,6 +42,46 @@ def test_prefetch_iterator_matches_sync(ds):
             np.testing.assert_array_equal(fa, fb)
 
 
+def test_seed_keyed_iterator_resumes_exactly(ds):
+    """Skipping the first k batches with start=k reproduces the exact
+    cut_a draws of an uninterrupted pass — the law behind exact
+    `--resume step` (cli/train.py epoch loop)."""
+    import jax.random
+    from mtn_tpu.train.batch import device_batch
+    from mtn_tpu.train.trainer import Trainer
+    from tests.fixtures import tiny_model_cfg
+    plans, _ = make_batch_indices(ds, 4, 64, separate_caption=True)
+    assert len(plans) >= 3
+    cfg = _cfg(cut_a=True, prefetch=0)
+    key = (7, 0)
+    mcfg = tiny_model_cfg(len(ds.vocab), ds.feature_dims(), dropout=0.0)
+    tr = Trainer(mcfg, TrainConfig(warmup_steps=10))
+
+    def run(batches, st):
+        # the train step donates its state buffers — clone so st0/part
+        # survive being passed to several runs
+        import jax.numpy as jnp
+        st = jax.tree.map(jnp.array, st)
+        for hb in batches:
+            st, _ = tr.train_step(st, device_batch(hb), jax.random.PRNGKey(1))
+        return st
+
+    st0 = tr.init_state(
+        jax.random.PRNGKey(0),
+        device_batch(next(iter(BatchIterator(ds, plans[:1],
+                                             _cfg(cut_a=False),
+                                             train=False, prefetch=0)))))
+    full = run(BatchIterator(ds, plans, cfg, train=True, seed_key=key), st0)
+    k = 2
+    part = run(BatchIterator(ds, plans[:k], cfg, train=True, seed_key=key),
+               st0)
+    resumed = run(BatchIterator(ds, plans[k:], cfg, train=True,
+                                seed_key=key, start=k), part)
+    for a, b in zip(jax.tree.leaves(full.params),
+                    jax.tree.leaves(resumed.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_shuffled_preserves_set(ds):
     plans, _ = make_batch_indices(ds, 4, 64, separate_caption=True)
     sh = shuffled(plans, np.random.default_rng(0))
@@ -159,10 +199,10 @@ def test_step_checkpoint_roundtrip(tmp_path, ds):
     for _ in range(3):
         st, _ = tr.train_step(st, db, jax.random.PRNGKey(1))
     ckpt = CheckpointManager(str(tmp_path / "m"))
-    ckpt.save_step(st, epoch=2)
-    ckpt.save_step(st, epoch=2)  # rotating slot: second save overwrites
-    restored, ep = ckpt.restore_step(st)
-    assert ep == 2 and int(restored.step) == 3
+    ckpt.save_step(st, epoch=2, batch_idx=5)
+    ckpt.save_step(st, epoch=2, batch_idx=7)  # rotating slot: overwrites
+    restored, ep, bi = ckpt.restore_step(st)
+    assert ep == 2 and bi == 7 and int(restored.step) == 3
     for a, b in zip(jax.tree.leaves(restored.params),
                     jax.tree.leaves(st.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
