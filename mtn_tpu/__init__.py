@@ -14,8 +14,10 @@ capability surface of the MTN reference (henryhungle/MTN, ACL'19):
 - ``mtn_tpu.train``       — label-smoothed KL loss, Noam schedule (optax),
                             jitted mesh-aware train step.
 - ``mtn_tpu.decode``      — jit-compiled batched beam search (lax.scan over
-                            steps, KV + auto-encoder caches).
-- ``mtn_tpu.parallel``    — device mesh + sharding rules (dp/tp) over ICI.
+                            steps, KV + auto-encoder caches, optional
+                            provably-exact early termination).
+- ``mtn_tpu.parallel``    — device mesh + sharding rules (dp/tp) over ICI,
+                            multi-host (DCN) execution support.
 - ``mtn_tpu.evalmetrics`` — COCO-caption metrics (BLEU/METEOR/ROUGE-L/CIDEr)
                             in pure Python 3 plus DSTC7 format converters.
 - ``mtn_tpu.utils``       — Orbax checkpointing, CSV/metric logging, profiling.

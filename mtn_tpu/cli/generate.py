@@ -42,6 +42,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--uniform-shapes", default=1, type=int,
                         help="pad all decode batches to global maxima "
                              "(one compiled program for the whole run)")
+    parser.add_argument("--early-stop", default=0, type=int,
+                        help="stop the beam loop as soon as no active "
+                             "hypothesis can still enter any n-best "
+                             "(output-identical to the full maxlen run; "
+                             "saves tail steps when answers end early)")
+    parser.add_argument("--multihost", default="", type=str,
+                        help="join a multi-host run: 'auto' (TPU pod) or "
+                             "'host:port,nprocs,procid' — turn batches "
+                             "shard across hosts; results are allgathered "
+                             "and process 0 writes the output "
+                             "(parallel/multihost.py)")
     add_tpu_args(parser)
     add_logging_args(parser)
     return parser
@@ -66,20 +77,16 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
     hypothesis string in place of each answer). With ``mesh``/``shardings``
     the beam program compiles under the mesh and each turn batch is
     sharded over the ``data`` axis (GSPMD data-parallel decode)."""
-    import numpy as np
     from mtn_tpu.data import make_batch_indices
     from mtn_tpu.data.batching import make_batch
     from mtn_tpu.data.vocab import vocab_list
     from mtn_tpu.decode.beam import BeamDecoder, detokenize
-    from mtn_tpu.train.batch import device_batch
+    from mtn_tpu.train.batch import to_device_fn
 
     vlist = vocab_list(vocab)
     decoder = BeamDecoder(model_cfg, decode_cfg, mesh=mesh)
     transfer = decode_cfg.feature_transfer or model_cfg.dtype
-
-    def to_device(hb):
-        db = device_batch(hb, transfer)
-        return shardings.put_batch(db) if shardings is not None else db
+    to_device = to_device_fn(transfer, shardings)
     # length-sorted plans pack similar turns together (padding efficiency);
     # qa_ids map results back to dialogue order
     plans, n = make_batch_indices(dataset, batchsize=decode_cfg.turn_batch,
@@ -221,6 +228,9 @@ def main(argv=None):
     from mtn_tpu.cli.common import print_args, setup_logging
     setup_logging(args.verbose)
     print_args(args)
+    if args.multihost:
+        from mtn_tpu.parallel.multihost import initialize_from_flag
+        initialize_from_flag(args.multihost)
     import jax
     from mtn_tpu.config import DecodeConfig, config_from_dict
     from mtn_tpu.data import load
@@ -271,7 +281,8 @@ def main(argv=None):
         undisclosed_only=bool(args.undisclosed_only),
         labeled_test=args.labeled_test, turn_batch=args.turn_batch,
         uniform_shapes=bool(args.uniform_shapes),
-        feature_transfer=args.feature_transfer)
+        feature_transfer=args.feature_transfer,
+        early_stop=bool(args.early_stop))
     ref_data = None
     if args.undisclosed_only and args.labeled_test:
         with open(args.labeled_test) as f:
@@ -290,7 +301,9 @@ def main(argv=None):
         ref_data=ref_data, log=args.verbose >= 1, mesh=mesh,
         shardings=shardings)
     logging.info("wall time = %f", time.time() - t0)
-    if args.output:
+    # every process holds the full (allgathered) result set; process 0
+    # writes it (hosts share a filesystem on a pod)
+    if args.output and jax.process_index() == 0:
         logging.info("writing results to %s", args.output)
         with open(args.output, "w") as f:
             json.dump(result, f, indent=4)

@@ -123,6 +123,13 @@ class DecodeConfig:
     # lax.scan unroll factor for the decode step loop: >1 trades program
     # size (and compile time) for less per-step loop overhead.
     scan_unroll: int = 1
+    # Early termination: run the beam as a lax.while_loop that stops as
+    # soon as NO active hypothesis can still enter any row's n-best
+    # (provable bound: active scores only decay, so
+    # max(score) + max-remaining-length-reward < nbest-th completion
+    # score ⇒ converged). Output-identical to the full maxlen scan
+    # (tests pin it); saves the tail steps when answers end early.
+    early_stop: bool = False
 
 
 def _to_jsonable(obj: Any) -> Any:

@@ -9,7 +9,10 @@ Semantics parity with the reference ``beam_search_decode``
   score ``lp + logp[<eos>] + penalty·(len+1)`` (length reward,
   data_utils.py:213-217);
 - all ``maxlen`` steps run regardless of completions, and the final
-  n-best is the global top-``nbest`` over every recorded completion;
+  n-best is the global top-``nbest`` over every recorded completion
+  (with ``DecodeConfig.early_stop`` the loop instead terminates as soon
+  as a score bound proves no later completion can enter any n-best —
+  provably output-identical, fewer steps);
 - the reference's replace-argmin insertion over per-hypothesis descending
   candidates is equivalent to a global top-``beam`` over the
   (beam × vocab) candidate matrix, which is how it is computed here.
@@ -166,10 +169,43 @@ class BeamDecoder:
 
             carry = (tok_buf, scores, self_kv, comp_scores, comp_buf,
                      comp_len)
-            carry, _ = jax.lax.scan(step, carry, jnp.arange(maxlen),
-                                    unroll=cfg.scan_unroll)
+            if not cfg.early_stop:
+                carry, _ = jax.lax.scan(step, carry, jnp.arange(maxlen),
+                                        unroll=cfg.scan_unroll)
+                n_steps = jnp.full((), maxlen, jnp.int32)
+            else:
+                # while_loop with a convergence bound. Active scores only
+                # decay (each appended logp ≤ 0) and a completion at step
+                # l' scores ≤ score_active + penalty·(l'+1), so once
+                #   max(scores) + max-future-length-reward < nbest-th
+                # completion score for every row, later steps provably
+                # cannot change any n-best — identical output, fewer
+                # steps. (Ties: the completion top_k is stable and
+                # prefers pool entries, so `>=` keeps exactness.)
+                def future_reward(l):
+                    # cond sees l = index of the next step to run; a
+                    # completion recorded during step l' gets reward
+                    # penalty·(l'+1), l' ∈ [l, maxlen-1]
+                    if penalty >= 0.0:
+                        return penalty * maxlen      # latest completion
+                    return penalty * (l + 1.0)       # earliest completion
+
+                def cond(c):
+                    l = c[0]
+                    _, scores, _, comp_scores, _, _ = c[1]
+                    bound = jnp.max(scores, axis=1) + future_reward(l)
+                    live = bound >= comp_scores[:, -1]
+                    return jnp.logical_and(l < maxlen, jnp.any(live))
+
+                def body(c):
+                    l, inner = c
+                    inner, _ = step(inner, l)
+                    return l + 1, inner
+
+                n_steps, carry = jax.lax.while_loop(
+                    cond, body, (jnp.zeros((), jnp.int32), carry))
             _, _, _, comp_scores, comp_buf, comp_len = carry
-            return comp_scores, comp_buf, comp_len
+            return comp_scores, comp_buf, comp_len, n_steps
 
         if self.mesh is not None:
             with self.mesh:
@@ -179,6 +215,7 @@ class BeamDecoder:
     # ------------------------------------------------------------------
     def _build_greedy(self):
         maxlen = self.cfg.maxlen
+        eos = self.eos
 
         def greedy_fn(params, batch: DeviceBatch):
             B = batch.query.shape[0]
@@ -197,9 +234,26 @@ class BeamDecoder:
                 toks = jnp.where(write, nxt[:, None], toks)
                 return (toks, self_kv), None
 
-            (toks, _), _ = jax.lax.scan(step, (toks, self_kv),
-                                        jnp.arange(maxlen),
-                                        unroll=self.cfg.scan_unroll)
+            if not self.cfg.early_stop:
+                (toks, _), _ = jax.lax.scan(step, (toks, self_kv),
+                                            jnp.arange(maxlen),
+                                            unroll=self.cfg.scan_unroll)
+                return toks
+
+            # stop once every row has emitted <eos>; tokens after a
+            # row's first <eos> are never read (greedy_batch cuts there)
+            def cond(c):
+                l, (toks, _) = c
+                done = jnp.any(toks[:, 1:] == eos, axis=1)
+                return jnp.logical_and(l < maxlen, ~jnp.all(done))
+
+            def body(c):
+                l, inner = c
+                inner, _ = step(inner, l)
+                return l + 1, inner
+
+            _, (toks, _) = jax.lax.while_loop(
+                cond, body, (jnp.zeros((), jnp.int32), (toks, self_kv)))
             return toks
 
         if self.mesh is not None:
@@ -216,10 +270,21 @@ class BeamDecoder:
             self._beam_fn = self._build_beam()
         return self._beam_fn(params, batch)
 
+    @staticmethod
+    def _gather(*arrays):
+        """Fetch arrays to host; under a multi-host run the rows are
+        sharded across processes, so allgather the full value first
+        (every host then assembles the complete result set)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return [np.asarray(multihost_utils.process_allgather(
+                a, tiled=True)) for a in arrays]
+        return [np.asarray(a) for a in jax.device_get(list(arrays))]
+
     def beam_results(self, raw, valid) -> List[BeamResult]:
         """Fetch + convert one dispatched batch (blocks on the device)."""
-        comp_scores, comp_buf, comp_len = jax.device_get(raw)
-        valid = np.asarray(valid)
+        comp_scores, comp_buf, comp_len, valid = self._gather(
+            raw[0], raw[1], raw[2], valid)
         results = []
         for b in range(comp_scores.shape[0]):
             if not valid[b]:
@@ -245,8 +310,8 @@ class BeamDecoder:
         """Greedy-decode every row; tokens after <sos>, cut at <eos>."""
         if self._greedy_fn is None:
             self._greedy_fn = self._build_greedy()
-        toks = np.asarray(jax.device_get(self._greedy_fn(params, batch)))
-        valid = np.asarray(batch.valid)
+        toks, valid = self._gather(self._greedy_fn(params, batch),
+                                   batch.valid)
         out = []
         for b in range(toks.shape[0]):
             if not valid[b]:

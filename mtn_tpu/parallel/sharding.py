@@ -86,8 +86,36 @@ class Shardings:
                             self.tree_specs(tree))
 
     def shard_state(self, state):
-        """device_put a TrainState according to the rules."""
+        """device_put a TrainState according to the rules.
+
+        Multi-process: plain device_put would require cross-host device
+        transfers; instead every process contributes its local slab of
+        each (replicated or within-host-sharded) array."""
+        if jax.process_count() > 1:
+            return jax.tree.map(self._make_global, state,
+                                self.tree_shardings(state))
         return jax.device_put(state, self.tree_shardings(state))
+
+    @staticmethod
+    def _make_global(x, sharding):
+        """Assemble a global jax.Array from this process's slab of ``x``
+        (the full host value). Assumes each dim's addressable shards are
+        contiguous — true for make_mesh layouts (processes contiguous
+        along ``data``; ``model`` groups within-host)."""
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.make_array_from_process_local_data(sharding, x,
+                                                          x.shape)
+        spans = list(
+            sharding.addressable_devices_indices_map(x.shape).values())
+        slices = []
+        for d in range(x.ndim):
+            lo = min((idx[d].start or 0) for idx in spans)
+            hi = max(x.shape[d] if idx[d].stop is None else idx[d].stop
+                     for idx in spans)
+            slices.append(slice(lo, hi))
+        return jax.make_array_from_process_local_data(
+            sharding, x[tuple(slices)], x.shape)
 
     def batch_spec(self, leaf) -> P:
         ndim = getattr(leaf, "ndim", 0)
@@ -101,8 +129,20 @@ class Shardings:
                 x, NamedSharding(self.mesh, self.batch_spec(x))), batch)
 
     def put_batch(self, batch):
-        """Host→device transfer with the data-parallel layout."""
+        """Host→device transfer with the data-parallel layout.
+
+        Single process: plain sharded ``device_put``. Multi-process
+        (multihost.py): each host transfers only the rows its local
+        devices own — per-host input sharding — and the global array is
+        assembled with ``jax.make_array_from_process_local_data``.
+        """
+        if jax.process_count() > 1:
+            return jax.tree.map(self._put_process_local, batch)
         return jax.device_put(
             batch, jax.tree.map(
                 lambda x: NamedSharding(self.mesh, self.batch_spec(x)),
                 batch))
+
+    def _put_process_local(self, x):
+        return self._make_global(
+            x, NamedSharding(self.mesh, self.batch_spec(np.asarray(x))))

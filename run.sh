@@ -66,6 +66,7 @@ use_pallas_ffn=0        # opt-in: e2e-neutral at flagship shapes (BENCH.md)
 feature_transfer=""     # ''|bfloat16|int8: host->device feature precision
 uniform_shapes_train=0  # 1: single compiled train step (pad to maxima)
 uniform_shapes_decode=1 # 1: single compiled beam program (pad to maxima)
+early_stop=0            # 1: beam loop exits once n-bests provably fixed
 
 echo Stage $stage Exp ID $expid
 
@@ -184,7 +185,8 @@ if [ $stage -le 3 ]; then
           --use-pallas-attention ${use_pallas_attention} \
           --use-pallas-ffn ${use_pallas_ffn} \
           --feature-transfer "${feature_transfer}" \
-          --uniform-shapes ${uniform_shapes_decode}
+          --uniform-shapes ${uniform_shapes_decode} \
+          --early-stop ${early_stop}
     done
 fi
 

@@ -154,6 +154,47 @@ def test_nbest_exceeds_beam(setup):
         assert r.scores == sorted(r.scores, reverse=True)
 
 
+def test_early_stop_preserves_semantics(setup):
+    """early_stop (while_loop with the convergence bound) must be
+    output-identical to the full maxlen scan, across penalty regimes
+    (the bound differs for reward vs penalize)."""
+    cfg, model, params, db = setup
+    for penalty in (0.0, 1.0, -0.5):
+        full = BeamDecoder(cfg, DecodeConfig(maxlen=8, beam=3, nbest=3,
+                                             penalty=penalty))
+        early = BeamDecoder(cfg, DecodeConfig(maxlen=8, beam=3, nbest=3,
+                                              penalty=penalty,
+                                              early_stop=True))
+        for a, b in zip(full.beam_batch(params, db),
+                        early.beam_batch(params, db)):
+            assert a.tokens == b.tokens, f"penalty={penalty}"
+            assert a.scores == pytest.approx(b.scores, abs=1e-5)
+
+
+def test_early_stop_actually_stops(setup):
+    """With penalty=0 the bound converges before maxlen on this fixture
+    — assert the while_loop really cut steps (n_steps < maxlen) and the
+    n-best is still oracle-exact."""
+    cfg, model, params, db = setup
+    dec = BeamDecoder(cfg, DecodeConfig(maxlen=20, beam=2, nbest=2,
+                                        penalty=0.0, early_stop=True))
+    raw = dec.beam_batch_raw(params, db)
+    n_steps = int(np.asarray(raw[3]))
+    assert n_steps < 20, "early_stop never fired on the fixture"
+    for b, got in zip(range(db.query.shape[0]),
+                      dec.beam_results(raw, db.valid)):
+        want, _ = slow_beam(model, params, _row(db, b), PAD, SOS, EOS, UNK,
+                            maxlen=20, beam=2, penalty=0.0, nbest=2)
+        assert [t for t, _ in want] == got.tokens
+
+
+def test_greedy_early_stop_matches(setup):
+    cfg, model, params, db = setup
+    full = BeamDecoder(cfg, DecodeConfig(maxlen=8))
+    early = BeamDecoder(cfg, DecodeConfig(maxlen=8, early_stop=True))
+    assert full.greedy_batch(params, db) == early.greedy_batch(params, db)
+
+
 def test_scan_unroll_preserves_semantics(setup):
     """unroll>1 is a scheduling knob; tokens and scores must be
     identical to the unroll=1 program."""
