@@ -123,13 +123,14 @@ class DecodeConfig:
     # lax.scan unroll factor for the decode step loop: >1 trades program
     # size (and compile time) for less per-step loop overhead.
     scan_unroll: int = 1
-    # Early termination: run the beam as a lax.while_loop that stops as
-    # soon as NO active hypothesis can still enter any row's n-best
-    # (provable bound: active scores only decay, so
+    # Early termination (default on): run the beam as a lax.while_loop
+    # that stops as soon as NO active hypothesis can still enter any
+    # row's n-best (provable bound: active scores only decay, so
     # max(score) + max-remaining-length-reward < nbest-th completion
     # score ⇒ converged). Output-identical to the full maxlen scan
-    # (tests pin it); saves the tail steps when answers end early.
-    early_stop: bool = False
+    # (tests pin it); measured 1.32× device-side decode on a trained
+    # checkpoint (docs/BENCH.md, scripts/bench_early_stop.py).
+    early_stop: bool = True
 
 
 def _to_jsonable(obj: Any) -> Any:

@@ -66,7 +66,8 @@ use_pallas_ffn=0        # opt-in: e2e-neutral at flagship shapes (BENCH.md)
 feature_transfer=""     # ''|bfloat16|int8: host->device feature precision
 uniform_shapes_train=0  # 1: single compiled train step (pad to maxima)
 uniform_shapes_decode=1 # 1: single compiled beam program (pad to maxima)
-early_stop=0            # 1: beam loop exits once n-bests provably fixed
+early_stop=1            # beam loop exits once n-bests provably fixed
+                        # (output-identical, 1.32x measured; 0 = full scan)
 
 echo Stage $stage Exp ID $expid
 

@@ -19,10 +19,13 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TURN_BATCH = 32
 BEAM = 5

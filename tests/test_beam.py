@@ -161,7 +161,8 @@ def test_early_stop_preserves_semantics(setup):
     cfg, model, params, db = setup
     for penalty in (0.0, 1.0, -0.5):
         full = BeamDecoder(cfg, DecodeConfig(maxlen=8, beam=3, nbest=3,
-                                             penalty=penalty))
+                                             penalty=penalty,
+                                             early_stop=False))
         early = BeamDecoder(cfg, DecodeConfig(maxlen=8, beam=3, nbest=3,
                                               penalty=penalty,
                                               early_stop=True))
@@ -190,7 +191,7 @@ def test_early_stop_actually_stops(setup):
 
 def test_greedy_early_stop_matches(setup):
     cfg, model, params, db = setup
-    full = BeamDecoder(cfg, DecodeConfig(maxlen=8))
+    full = BeamDecoder(cfg, DecodeConfig(maxlen=8, early_stop=False))
     early = BeamDecoder(cfg, DecodeConfig(maxlen=8, early_stop=True))
     assert full.greedy_batch(params, db) == early.greedy_batch(params, db)
 
@@ -199,9 +200,11 @@ def test_scan_unroll_preserves_semantics(setup):
     """unroll>1 is a scheduling knob; tokens and scores must be
     identical to the unroll=1 program."""
     cfg, model, params, db = setup
-    base = BeamDecoder(cfg, DecodeConfig(maxlen=6, beam=3, nbest=3))
+    base = BeamDecoder(cfg, DecodeConfig(maxlen=6, beam=3, nbest=3,
+                                         early_stop=False))
     unrolled = BeamDecoder(cfg, DecodeConfig(maxlen=6, beam=3, nbest=3,
-                                             scan_unroll=3))
+                                             scan_unroll=3,
+                                             early_stop=False))
     for a, b in zip(base.beam_batch(params, db),
                     unrolled.beam_batch(params, db)):
         assert a.tokens == b.tokens
