@@ -1,0 +1,68 @@
+"""Serving-latency benchmark on a trained checkpoint (real TPU).
+
+Usage: python scripts/bench_serve.py <model_prefix[_best]> [n_iters]
+
+Measures ServingSession end-to-end latency (host encode + upload + beam
++ download) for single interactive turns and a turn_batch-sized burst,
+with the default DecodeConfig (early termination on) and with the fixed
+30-step scan for comparison. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_ITERS = 20
+
+
+def main():
+    model_arg = sys.argv[1]
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else N_ITERS
+
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import Request, ServingSession
+
+    rng = np.random.default_rng(0)
+
+    def make_request(i):
+        return Request(
+            question=f"is there any sound in clip {i} ?",
+            history=[("are there people ?", "yes there is a man"),
+                     ("what is he doing ?", "he is reading a book")],
+            caption="a man sits on a couch reading a book",
+            features={"i3d_rgb": rng.standard_normal((64, 2048),
+                                                     np.float32),
+                      "vggish": rng.standard_normal((32, 128), np.float32)})
+
+    out = {}
+    for name, dcfg in [
+            ("early", DecodeConfig(maxlen=30, beam=5, nbest=5)),
+            ("fixed", DecodeConfig(maxlen=30, beam=5, nbest=5,
+                                   early_stop=False))]:
+        session = ServingSession.from_checkpoint(model_arg, decode_cfg=dcfg)
+        session.respond(**{"question": "warm up ?"})       # compile
+        lat = []
+        for i in range(iters):
+            t0 = time.time()
+            _ = session.respond_batch([make_request(i)])
+            lat.append(time.time() - t0)
+        burst = [make_request(100 + j) for j in range(dcfg.turn_batch)]
+        t0 = time.time()
+        _ = session.respond_batch(burst)
+        burst_sec = time.time() - t0
+        out[f"p50_ms_{name}"] = round(1e3 * float(np.percentile(lat, 50)), 1)
+        out[f"p90_ms_{name}"] = round(1e3 * float(np.percentile(lat, 90)), 1)
+        out[f"burst{dcfg.turn_batch}_rps_{name}"] = round(
+            dcfg.turn_batch / burst_sec, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
