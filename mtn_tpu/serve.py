@@ -163,3 +163,113 @@ class ServingSession:
         req = Request(question=question, history=list(history),
                       caption=caption, features=features or {})
         return self.respond_batch([req])[0][0]
+
+
+class AsyncServer:
+    """Continuous-batching wrapper around a :class:`ServingSession`.
+
+    Callers ``submit`` requests at any time and get a
+    ``concurrent.futures.Future``. A scheduler thread packs waiting
+    requests into ``turn_batch``-padded batches (so every launch reuses
+    the one compiled beam program), keeps up to ``max_in_flight``
+    batches dispatched on the device at once (the XLA dispatch queue
+    hides host latency, exactly like the generate CLI's pipeline), and
+    resolves futures as batches drain in order.
+
+    Batching policy: a batch launches as soon as the device has a free
+    in-flight slot AND either ``turn_batch`` requests are waiting or
+    ``max_wait_ms`` has passed since the oldest waiting request — the
+    standard latency/throughput knob of continuous-batching servers.
+    """
+
+    def __init__(self, session: ServingSession, max_in_flight: int = 2,
+                 max_wait_ms: float = 5.0):
+        import queue
+        import threading
+        self.session = session
+        self.max_in_flight = max_in_flight
+        self.max_wait = max_wait_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self.launches = 0       # program launches (for tests/metrics)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, request: Request):
+        from concurrent.futures import Future
+        fut: Future = Future()
+        self._q.put((request, fut))
+        return fut
+
+    def respond(self, request: Request, timeout: Optional[float] = None):
+        return self.submit(request).result(timeout)
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join()
+
+    # -- scheduler thread ---------------------------------------------------
+    def _collect(self):
+        """Gather up to turn_batch waiting (request, future) pairs,
+        launching early only after max_wait_ms from the first one."""
+        import queue
+        import time as _time
+        try:
+            first = self._q.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = _time.time() + self.max_wait
+        cap = self.session.decode_cfg.turn_batch
+        while len(batch) < cap:
+            remaining = deadline - _time.time()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _launch(self, pairs):
+        s = self.session
+        reqs = [r for r, _ in pairs]
+        hb = encode_requests(reqs, s.model_cfg, s.data_cfg, s.vocab,
+                             s._lb, s._fb,
+                             pad_rows_to=s.decode_cfg.turn_batch)
+        db = device_batch(hb, s.model_cfg.dtype)
+        raw = s.decoder.beam_batch_raw(s.params, db)   # async dispatch
+        self.launches += 1
+        return (pairs, raw, db.valid)
+
+    def _drain(self, inflight_item):
+        from mtn_tpu.decode.beam import detokenize
+        pairs, raw, valid = inflight_item
+        s = self.session
+        try:
+            results = s.decoder.beam_results(raw, valid)  # blocks
+            for (_, fut), res in zip(pairs, results):
+                fut.set_result((detokenize(res.tokens[0], s.vlist,
+                                           s.vocab["<eos>"]),
+                                res.scores[0]))
+        except BaseException as e:  # surface device errors to callers
+            for _, fut in pairs:
+                if not fut.done():
+                    fut.set_exception(e)
+
+    def _loop(self):
+        in_flight = []
+        while not self._stop.is_set() or not self._q.empty() or in_flight:
+            pairs = [] if (self._stop.is_set() and self._q.empty()) \
+                else self._collect()
+            if pairs:
+                try:
+                    in_flight.append(self._launch(pairs))
+                except BaseException as e:  # encode/dispatch failure
+                    for _, fut in pairs:
+                        fut.set_exception(e)
+            # drain when at device capacity, or whenever there is
+            # nothing new to launch (so lone batches resolve promptly)
+            if in_flight and (not pairs
+                              or len(in_flight) >= self.max_in_flight):
+                self._drain(in_flight.pop(0))

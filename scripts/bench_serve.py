@@ -47,7 +47,9 @@ def main():
             ("fixed", DecodeConfig(maxlen=30, beam=5, nbest=5,
                                    early_stop=False))]:
         session = ServingSession.from_checkpoint(model_arg, decode_cfg=dcfg)
-        session.respond(**{"question": "warm up ?"})       # compile
+        # warm up with the measured request shape (a different history/
+        # feature bucket would leave a compile inside the timed window)
+        session.respond_batch([make_request(998)])
         lat = []
         for i in range(iters):
             t0 = time.time()
@@ -61,6 +63,23 @@ def main():
         out[f"p90_ms_{name}"] = round(1e3 * float(np.percentile(lat, 90)), 1)
         out[f"burst{dcfg.turn_batch}_rps_{name}"] = round(
             dcfg.turn_batch / burst_sec, 1)
+
+    # continuous batching under open load: 64 concurrent submissions
+    # through AsyncServer (default early-stop config, turn_batch 16,
+    # pipelined launches) vs the sequential single-turn p50 above
+    from mtn_tpu.serve import AsyncServer
+    session = ServingSession.from_checkpoint(
+        model_arg, DecodeConfig(maxlen=30, beam=5, nbest=5))
+    session.respond_batch([make_request(999)])             # compile
+    srv = AsyncServer(session, max_in_flight=3, max_wait_ms=5)
+    reqs = [make_request(200 + i) for i in range(64)]
+    t0 = time.time()
+    futs = [srv.submit(r) for r in reqs]
+    _ = [f.result(timeout=600) for f in futs]
+    sec = time.time() - t0
+    srv.stop()
+    out["async64_rps"] = round(64 / sec, 1)
+    out["async64_launches"] = srv.launches
     print(json.dumps(out))
 
 

@@ -4,8 +4,9 @@ import numpy as np
 import pytest
 
 
-def test_serving_session_from_trained_checkpoint(tiny_corpus,
-                                                 tmp_path_factory):
+@pytest.fixture(scope="module")
+def served(tiny_corpus, tmp_path_factory):
+    """A trained tiny checkpoint + matching feature dict."""
     out = tmp_path_factory.mktemp("serve_exp")
     prefix = str(out / "mtn")
     from mtn_tpu.cli.train import main as train_main
@@ -25,14 +26,18 @@ def test_serving_session_from_trained_checkpoint(tiny_corpus,
         "--length-bucket", "8", "--feature-bucket", "4",
     ])
     assert rc == 0
+    rng = np.random.default_rng(0)
+    feats = {ft: rng.standard_normal((5, d)).astype(np.float32)
+             for ft, d in zip(tiny_corpus.fea_types, tiny_corpus.ft_dims)}
+    return prefix, feats
 
+
+def test_serving_session_from_trained_checkpoint(served):
+    prefix, feats = served
     from mtn_tpu.config import DecodeConfig
     from mtn_tpu.serve import Request, ServingSession
     session = ServingSession.from_checkpoint(
         prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2))
-    rng = np.random.default_rng(0)
-    feats = {ft: rng.standard_normal((5, d)).astype(np.float32)
-             for ft, d in zip(tiny_corpus.fea_types, tiny_corpus.ft_dims)}
     ans = session.respond(
         question="are there any people in the video ?",
         history=[("what is he doing ?", "he sits on the couch")],
@@ -52,6 +57,57 @@ def test_serving_session_from_trained_checkpoint(tiny_corpus,
     # works without features (zero-filled streams)
     ans2 = session.respond(question="is it raining ?")
     assert isinstance(ans2, str)
+
+
+def test_async_server_continuous_batching(served):
+    """AsyncServer packs concurrent submissions into turn_batch-padded
+    launches and resolves every future with the answer the synchronous
+    path gives for the same request (same session, same programs)."""
+    prefix, feats = served
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import AsyncServer, Request, ServingSession
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2,
+                                       turn_batch=4))
+    questions = ["is there any sound ?", "what is he doing ?",
+                 "does the man speak ?", "is it a long video ?",
+                 "are there people ?", "is there music playing ?",
+                 "what happens at the end ?", "is the room bright ?",
+                 "does he sit down ?", "is a dog visible ?"]
+    reqs = [Request(question=qx, caption="a man reads a book",
+                    features=feats) for qx in questions]
+    sync = [session.respond_batch([r])[0] for r in reqs]
+
+    srv = AsyncServer(session, max_in_flight=2, max_wait_ms=300)
+    futs = [srv.submit(r) for r in reqs]
+    got = [f.result(timeout=300) for f in futs]
+    srv.stop()
+    for (sa, ss), (ga, gs) in zip(sync, got):
+        assert ga == sa
+        assert gs == pytest.approx(ss, abs=1e-5)
+    # continuous batching actually batched: 10 requests, cap 4 → far
+    # fewer launches than requests (exact count is timing-dependent)
+    assert srv.launches <= 5, srv.launches
+
+
+def test_async_server_surfaces_errors(served):
+    prefix, feats = served
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import AsyncServer, Request, ServingSession
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2,
+                                       turn_batch=4))
+    srv = AsyncServer(session, max_wait_ms=1.0)
+    bad = Request(question="hello")
+    bad.features = {"i3d_rgb": "not-an-array"}  # encode will raise
+    fut = srv.submit(bad)
+    with pytest.raises(Exception):
+        fut.result(timeout=120)
+    # the scheduler thread survives and keeps serving
+    ok = srv.respond(Request(question="is there any sound ?",
+                             features=feats), timeout=120)
+    srv.stop()
+    assert isinstance(ok[0], str)
 
 
 def test_encode_requests_honors_merge_and_history_laws():
