@@ -14,8 +14,9 @@ capability surface of the MTN reference (henryhungle/MTN, ACL'19):
 - ``mtn_tpu.train``       — label-smoothed KL loss, Noam schedule (optax),
                             jitted mesh-aware train step.
 - ``mtn_tpu.decode``      — jit-compiled batched beam search (lax.scan over
-                            steps, KV + auto-encoder caches, optional
-                            provably-exact early termination).
+                            steps, KV + auto-encoder caches, default
+                            provably-exact early termination) plus greedy
+                            and temperature/top-k/nucleus sampling.
 - ``mtn_tpu.parallel``    — device mesh + sharding rules (dp/tp) over ICI,
                             multi-host (DCN) execution support.
 - ``mtn_tpu.evalmetrics`` — COCO-caption metrics (BLEU/METEOR/ROUGE-L/CIDEr)

@@ -34,7 +34,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--nbest", default=5, type=int)
     parser.add_argument("--output", "-o", default="", type=str)
     parser.add_argument("--decode-style", default="greedy", type=str,
-                        choices=["greedy", "beam_search"])
+                        choices=["greedy", "beam_search", "sample"])
+    parser.add_argument("--temperature", default=1.0, type=float,
+                        help="sampling temperature (decode-style sample; "
+                             "0 degenerates to greedy)")
+    parser.add_argument("--top-k", default=0, type=int,
+                        help="sample from the top-k tokens only (0: off)")
+    parser.add_argument("--top-p", default=0.0, type=float,
+                        help="nucleus sampling mass (0: off)")
+    parser.add_argument("--sample-seed", default=1, type=int)
     parser.add_argument("--undisclosed-only", default=0, type=int)
     parser.add_argument("--labeled-test", default=None, type=str)
     parser.add_argument("--turn-batch", default=16, type=int,
@@ -180,7 +188,10 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
                             length_bucket=data_cfg.length_bucket,
                             feature_bucket=data_cfg.feature_bucket,
                             pad_rows_to=decode_cfg.turn_batch)
-            toks = decoder.greedy_batch(params, to_device(hb))
+            db = to_device(hb)
+            toks = (decoder.sample_batch(params, db)
+                    if decode_cfg.decode_style == "sample"
+                    else decoder.greedy_batch(params, db))
             for qa_id, row in zip(plan.qa_ids, toks):
                 answers[qa_id] = " ".join(vlist[t] for t in row)
                 scores[qa_id] = 0.0
@@ -283,7 +294,9 @@ def main(argv=None):
         labeled_test=args.labeled_test, turn_batch=args.turn_batch,
         uniform_shapes=bool(args.uniform_shapes),
         feature_transfer=args.feature_transfer,
-        early_stop=bool(args.early_stop))
+        early_stop=bool(args.early_stop),
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        sample_seed=args.sample_seed)
     ref_data = None
     if args.undisclosed_only and args.labeled_test:
         with open(args.labeled_test) as f:

@@ -106,7 +106,14 @@ class DecodeConfig:
     penalty: float = 1.0
     nbest: int = 5
     min_len: int = 1
-    decode_style: str = "beam_search"  # 'beam_search' | 'greedy'
+    decode_style: str = "beam_search"  # 'beam_search'|'greedy'|'sample'
+    # sampling decode (beyond the reference's greedy/beam): softmax
+    # temperature, then top-k and/or nucleus (top-p) truncation of the
+    # tempered distribution; temperature 0 degenerates to greedy
+    temperature: float = 1.0
+    top_k: int = 0        # 0: no top-k truncation
+    top_p: float = 0.0    # 0: no nucleus truncation
+    sample_seed: int = 1
     undisclosed_only: bool = False
     labeled_test: Optional[str] = None
     # TPU-specific: decode many dialogue turns per device batch (the reference

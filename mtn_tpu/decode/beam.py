@@ -81,6 +81,7 @@ class BeamDecoder:
         self.mesh = mesh
         self._beam_fn = None
         self._greedy_fn = None
+        self._sample_fn = None
 
     # ------------------------------------------------------------------
     def _decode_state(self, params, batch: DeviceBatch) -> DecodeState:
@@ -262,6 +263,109 @@ class BeamDecoder:
         return jax.jit(greedy_fn)
 
     # ------------------------------------------------------------------
+    def _build_sample(self):
+        """Ancestral sampling with temperature / top-k / top-p — a
+        serving-grade decode mode the reference lacks (its only styles
+        are greedy and beam, generate.py:104). Same cached one-token
+        step as greedy; the distribution transform runs per step fully
+        on device."""
+        cfg = self.cfg
+        maxlen, eos = cfg.maxlen, self.eos
+        temp, top_k, top_p = cfg.temperature, cfg.top_k, cfg.top_p
+
+        def transform(logp):
+            # logp: (B, V) log-probs; categorical() renormalizes, so
+            # operating on shifted/unnormalized logits is fine
+            logits = logp / max(temp, 1e-6)
+            if top_k and top_k > 0:
+                kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+                logits = jnp.where(logits < kth, NEG_INF, logits)
+            if top_p and top_p > 0.0:
+                V = logits.shape[-1]
+                srt, idx = jax.lax.top_k(logits, V)    # full descending
+                probs = jax.nn.softmax(srt, axis=-1)
+                # keep tokens until cumulative mass reaches p (the
+                # first token always survives)
+                keep_sorted = (jnp.cumsum(probs, axis=-1)
+                               - probs) < top_p
+                keep = jnp.zeros_like(keep_sorted).at[
+                    jnp.arange(logits.shape[0])[:, None], idx
+                ].set(keep_sorted)
+                logits = jnp.where(keep, logits, NEG_INF)
+            return logits
+
+        def sample_fn(params, batch: DeviceBatch, rng):
+            B = batch.query.shape[0]
+            state = self._decode_state(params, batch)
+            self_kv = self.model.init_self_kv(B, maxlen)
+            toks = jnp.full((B, maxlen + 1), self.pad, jnp.int32)
+            toks = toks.at[:, 0].set(self.sos)
+
+            def step(carry, l):
+                toks, self_kv = carry
+                cur = jax.lax.dynamic_index_in_dim(toks, l, axis=1,
+                                                   keepdims=False)
+                logp, self_kv = self._step(params, state, cur, l, self_kv)
+                if temp <= 0.0:  # degenerate: greedy
+                    nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+                else:
+                    nxt = jax.random.categorical(
+                        jax.random.fold_in(rng, l),
+                        transform(logp)).astype(jnp.int32)
+                write = jnp.arange(maxlen + 1)[None, :] == (l + 1)
+                toks = jnp.where(write, nxt[:, None], toks)
+                return (toks, self_kv), None
+
+            if not cfg.early_stop:
+                (toks, _), _ = jax.lax.scan(step, (toks, self_kv),
+                                            jnp.arange(maxlen))
+                return toks
+
+            def cond(c):
+                l, (toks, _) = c
+                done = jnp.any(toks[:, 1:] == eos, axis=1)
+                return jnp.logical_and(l < maxlen, ~jnp.all(done))
+
+            def body(c):
+                l, inner = c
+                inner, _ = step(inner, l)
+                return l + 1, inner
+
+            _, (toks, _) = jax.lax.while_loop(
+                cond, body, (jnp.zeros((), jnp.int32), (toks, self_kv)))
+            return toks
+
+        if self.mesh is not None:
+            with self.mesh:
+                return jax.jit(sample_fn)
+        return jax.jit(sample_fn)
+
+    def sample_batch(self, params, batch: DeviceBatch,
+                     rng=None) -> List[List[int]]:
+        """Sample one continuation per row; tokens after <sos>, cut at
+        <eos> (same output convention as greedy_batch)."""
+        if self._sample_fn is None:
+            self._sample_fn = self._build_sample()
+        if rng is None:
+            rng = jax.random.PRNGKey(self.cfg.sample_seed)
+        toks, valid = self._gather(
+            self._sample_fn(params, batch, rng), batch.valid)
+        return self._cut_rows(toks, valid)
+
+    def _cut_rows(self, toks, valid) -> List[List[int]]:
+        out = []
+        for b in range(toks.shape[0]):
+            if not valid[b]:
+                continue
+            row = []
+            for t in toks[b, 1:]:
+                if int(t) == self.eos:
+                    break
+                row.append(int(t))
+            out.append(row)
+        return out
+
+    # ------------------------------------------------------------------
     def beam_batch_raw(self, params, batch: DeviceBatch):
         """Dispatch the beam program asynchronously; returns device arrays
         (fetch later with :meth:`beam_results`) so many batches can be in
@@ -312,14 +416,4 @@ class BeamDecoder:
             self._greedy_fn = self._build_greedy()
         toks, valid = self._gather(self._greedy_fn(params, batch),
                                    batch.valid)
-        out = []
-        for b in range(toks.shape[0]):
-            if not valid[b]:
-                continue
-            row = []
-            for t in toks[b, 1:]:
-                if int(t) == self.eos:
-                    break
-                row.append(int(t))
-            out.append(row)
-        return out
+        return self._cut_rows(toks, valid)

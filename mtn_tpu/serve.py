@@ -150,9 +150,16 @@ class ServingSession:
         hb = encode_requests(requests, self.model_cfg, self.data_cfg,
                              self.vocab, self._lb, self._fb,
                              pad_rows_to=rows)
-        results = self.decoder.beam_batch(
-            self.params, device_batch(hb, self.model_cfg.dtype))
+        db = device_batch(hb, self.model_cfg.dtype)
         from mtn_tpu.decode.beam import detokenize
+        style = self.decode_cfg.decode_style
+        if style in ("greedy", "sample"):
+            rows_out = (self.decoder.sample_batch(self.params, db)
+                        if style == "sample"
+                        else self.decoder.greedy_batch(self.params, db))
+            return [(detokenize(r, self.vlist, self.vocab["<eos>"]), 0.0)
+                    for r in rows_out]
+        results = self.decoder.beam_batch(self.params, db)
         return [(detokenize(res.tokens[0], self.vlist,
                             self.vocab["<eos>"]), res.scores[0])
                 for res in results]

@@ -196,6 +196,38 @@ def test_greedy_early_stop_matches(setup):
     assert full.greedy_batch(params, db) == early.greedy_batch(params, db)
 
 
+def test_sample_degenerates_to_greedy(setup):
+    """top_k=1, temperature→0, and a vanishing nucleus must each pick
+    the argmax every step — i.e. reproduce greedy exactly."""
+    cfg, model, params, db = setup
+    greedy = BeamDecoder(cfg, DecodeConfig(maxlen=5)).greedy_batch(
+        params, db)
+    for kw in ({"top_k": 1}, {"temperature": 0.0}, {"top_p": 1e-9}):
+        dec = BeamDecoder(cfg, DecodeConfig(maxlen=5,
+                                            decode_style="sample", **kw))
+        assert dec.sample_batch(params, db) == greedy, kw
+
+
+def test_sample_deterministic_per_seed(setup):
+    cfg, model, params, db = setup
+    mk = lambda: BeamDecoder(cfg, DecodeConfig(
+        maxlen=6, decode_style="sample", temperature=1.0, top_p=0.9))
+    a = mk().sample_batch(params, db)
+    b = mk().sample_batch(params, db)
+    assert a == b  # same default seed → identical draws
+
+
+def test_sample_early_stop_matches_full(setup):
+    """Per-step rng is keyed by position (fold_in(rng, l)), so the
+    while_loop early exit cannot change any pre-exit draw."""
+    cfg, model, params, db = setup
+    full = BeamDecoder(cfg, DecodeConfig(maxlen=8, decode_style="sample",
+                                         top_k=3, early_stop=False))
+    early = BeamDecoder(cfg, DecodeConfig(maxlen=8, decode_style="sample",
+                                          top_k=3, early_stop=True))
+    assert full.sample_batch(params, db) == early.sample_batch(params, db)
+
+
 def test_scan_unroll_preserves_semantics(setup):
     """unroll>1 is a scheduling knob; tokens and scores must be
     identical to the unroll=1 program."""

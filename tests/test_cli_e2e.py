@@ -159,6 +159,36 @@ def test_generate_greedy_style(trained, tmp_path):
         assert all(w in vocab for w in ans.split())
 
 
+def test_generate_sample_style(trained, tmp_path):
+    """--decode-style sample (beyond-reference): deterministic per
+    seed, vocabulary-only words."""
+    corpus, prefix = trained
+    from mtn_tpu.cli.generate import main as gen_main
+    outs = []
+    for name in ("s1.json", "s2.json"):
+        result_path = str(tmp_path / name)
+        rc = gen_main([
+            "--test-path", corpus.fea_path,
+            "--test-set", corpus.test_set,
+            "--model", prefix + "_best",
+            "--maxlen", "6",
+            "--output", result_path,
+            "--decode-style", "sample",
+            "--temperature", "0.8", "--top-p", "0.9",
+            "--sample-seed", "7",
+            "--undisclosed-only", "1",
+            "--turn-batch", "4", "--dtype", "float32",
+        ])
+        assert rc == 0
+        outs.append(json.load(open(result_path)))
+    assert outs[0] == outs[1]  # same seed → identical output files
+    vocab = set(json.load(open(prefix + ".vocab.json")))
+    for d in outs[0]["dialogs"]:
+        ans = d["dialog"][0]["answer"]
+        assert isinstance(ans, str) and ans != "__UNDISCLOSED__"
+        assert all(w in vocab for w in ans.split())
+
+
 def test_resume_training(trained):
     corpus, prefix = trained
     from mtn_tpu.cli.train import main as train_main

@@ -59,6 +59,19 @@ def test_serving_session_from_trained_checkpoint(served):
     assert isinstance(ans2, str)
 
 
+def test_serving_sample_style(served):
+    prefix, feats = served
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import ServingSession
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, decode_style="sample",
+                                       temperature=0.7, top_k=5))
+    a = session.respond(question="is there any sound ?", features=feats)
+    b = session.respond(question="is there any sound ?", features=feats)
+    assert isinstance(a, str)
+    assert a == b  # same seed → deterministic
+
+
 def test_async_server_continuous_batching(served):
     """AsyncServer packs concurrent submissions into turn_batch-padded
     launches and resolves every future with the answer the synchronous
