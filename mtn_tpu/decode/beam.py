@@ -214,9 +214,34 @@ class BeamDecoder:
         return jax.jit(beam_fn)
 
     # ------------------------------------------------------------------
+    def _run_token_loop(self, step, toks, self_kv, maxlen):
+        """Run a one-token-per-step loop: full-maxlen scan, or (with
+        cfg.early_stop) a while_loop that exits once every row has
+        emitted <eos> — tokens after a row's first <eos> are never read
+        (_cut_rows stops there), so the two are output-identical."""
+        if not self.cfg.early_stop:
+            (toks, _), _ = jax.lax.scan(step, (toks, self_kv),
+                                        jnp.arange(maxlen),
+                                        unroll=self.cfg.scan_unroll)
+            return toks
+        eos = self.eos
+
+        def cond(c):
+            l, (toks, _) = c
+            done = jnp.any(toks[:, 1:] == eos, axis=1)
+            return jnp.logical_and(l < maxlen, ~jnp.all(done))
+
+        def body(c):
+            l, inner = c
+            inner, _ = step(inner, l)
+            return l + 1, inner
+
+        _, (toks, _) = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), (toks, self_kv)))
+        return toks
+
     def _build_greedy(self):
         maxlen = self.cfg.maxlen
-        eos = self.eos
 
         def greedy_fn(params, batch: DeviceBatch):
             B = batch.query.shape[0]
@@ -235,27 +260,7 @@ class BeamDecoder:
                 toks = jnp.where(write, nxt[:, None], toks)
                 return (toks, self_kv), None
 
-            if not self.cfg.early_stop:
-                (toks, _), _ = jax.lax.scan(step, (toks, self_kv),
-                                            jnp.arange(maxlen),
-                                            unroll=self.cfg.scan_unroll)
-                return toks
-
-            # stop once every row has emitted <eos>; tokens after a
-            # row's first <eos> are never read (greedy_batch cuts there)
-            def cond(c):
-                l, (toks, _) = c
-                done = jnp.any(toks[:, 1:] == eos, axis=1)
-                return jnp.logical_and(l < maxlen, ~jnp.all(done))
-
-            def body(c):
-                l, inner = c
-                inner, _ = step(inner, l)
-                return l + 1, inner
-
-            _, (toks, _) = jax.lax.while_loop(
-                cond, body, (jnp.zeros((), jnp.int32), (toks, self_kv)))
-            return toks
+            return self._run_token_loop(step, toks, self_kv, maxlen)
 
         if self.mesh is not None:
             with self.mesh:
@@ -270,7 +275,7 @@ class BeamDecoder:
         step as greedy; the distribution transform runs per step fully
         on device."""
         cfg = self.cfg
-        maxlen, eos = cfg.maxlen, self.eos
+        maxlen = cfg.maxlen
         temp, top_k, top_p = cfg.temperature, cfg.top_k, cfg.top_p
 
         def transform(logp):
@@ -309,6 +314,8 @@ class BeamDecoder:
                 if temp <= 0.0:  # degenerate: greedy
                     nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
                 else:
+                    # rng keyed by position, not iteration count, so the
+                    # early-stop while_loop cannot change any draw
                     nxt = jax.random.categorical(
                         jax.random.fold_in(rng, l),
                         transform(logp)).astype(jnp.int32)
@@ -316,24 +323,7 @@ class BeamDecoder:
                 toks = jnp.where(write, nxt[:, None], toks)
                 return (toks, self_kv), None
 
-            if not cfg.early_stop:
-                (toks, _), _ = jax.lax.scan(step, (toks, self_kv),
-                                            jnp.arange(maxlen))
-                return toks
-
-            def cond(c):
-                l, (toks, _) = c
-                done = jnp.any(toks[:, 1:] == eos, axis=1)
-                return jnp.logical_and(l < maxlen, ~jnp.all(done))
-
-            def body(c):
-                l, inner = c
-                inner, _ = step(inner, l)
-                return l + 1, inner
-
-            _, (toks, _) = jax.lax.while_loop(
-                cond, body, (jnp.zeros((), jnp.int32), (toks, self_kv)))
-            return toks
+            return self._run_token_loop(step, toks, self_kv, maxlen)
 
         if self.mesh is not None:
             with self.mesh:

@@ -193,6 +193,11 @@ class AsyncServer:
                  max_wait_ms: float = 5.0):
         import queue
         import threading
+        if session.decode_cfg.decode_style != "beam_search":
+            raise ValueError(
+                "AsyncServer drives the beam program; build the "
+                "ServingSession with decode_style='beam_search' "
+                f"(got {session.decode_cfg.decode_style!r})")
         self.session = session
         self.max_in_flight = max_in_flight
         self.max_wait = max_wait_ms / 1e3
