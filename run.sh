@@ -68,6 +68,10 @@ uniform_shapes_train=0  # 1: single compiled train step (pad to maxima)
 uniform_shapes_decode=1 # 1: single compiled beam program (pad to maxima)
 early_stop=1            # beam loop exits once n-bests provably fixed
                         # (output-identical, 1.32x measured; 0 = full scan)
+temperature=1.0         # --decode_style sample knobs (sampling decoder)
+top_k=0
+top_p=0.0
+sample_seed=1
 
 echo Stage $stage Exp ID $expid
 
@@ -187,7 +191,11 @@ if [ $stage -le 3 ]; then
           --use-pallas-ffn ${use_pallas_ffn} \
           --feature-transfer "${feature_transfer}" \
           --uniform-shapes ${uniform_shapes_decode} \
-          --early-stop ${early_stop}
+          --early-stop ${early_stop} \
+          --temperature ${temperature} \
+          --top-k ${top_k} \
+          --top-p ${top_p} \
+          --sample-seed ${sample_seed}
     done
 fi
 

@@ -1,7 +1,7 @@
 """Device-side A/B of DecodeConfig.early_stop on a trained checkpoint.
 
 Usage: python scripts/bench_early_stop.py <model_prefix[_best]> <test_set>
-       [n_batches]
+       [n_batches] [turn_batch]
 
 Loads the checkpoint + real (or synthetic-DSTC7) test data, builds
 uniform-shape turn batches exactly like the generate CLI, then times the
@@ -34,9 +34,12 @@ NBEST = 5
 
 
 def main():
+    global TURN_BATCH
     model_arg = sys.argv[1]
     test_set = sys.argv[2]
     n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+    if len(sys.argv) > 4:
+        TURN_BATCH = int(sys.argv[4])
 
     import jax
     from mtn_tpu.cli.generate import _split_model_arg
