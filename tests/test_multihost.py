@@ -27,35 +27,36 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_matches_single_process(tmp_path):
+def _run_workers_and_single(tmp_path, mesh_spec):
+    """Two worker processes on mesh_spec + the same run single-process;
+    returns (worker_losses_p0, worker_losses_p1, single_losses)."""
     port = _free_port()
     env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu",
            "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
     procs, outs = [], []
     for pid in range(2):
-        out = str(tmp_path / f"out{pid}.json")
+        out = str(tmp_path / f"out_{mesh_spec}_{pid}.json")
         outs.append(out)
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port), out],
+            [sys.executable, WORKER, str(pid), "2", str(port), out,
+             mesh_spec],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True))
     logs = [p.communicate(timeout=600)[0] for p in procs]
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log
     results = [json.load(open(o)) for o in outs]
-    # both hosts observe the identical (globally-reduced) loss sequence
-    assert results[0]["losses"] == results[1]["losses"]
 
-    # and it matches the same training run on a single-process mesh
     from mtn_tpu.config import TrainConfig
     from mtn_tpu.parallel import Shardings, make_mesh
     from mtn_tpu.train.trainer import Trainer
     from tests.fixtures import tiny_model_cfg
     from tests.test_model import _random_batch
     import jax
+    d, m = (int(v) for v in mesh_spec.split("x"))
     rng = np.random.default_rng(0)
     db = _random_batch(rng, B=8, ft_dims=(16, 8), vocab=32)
-    mesh = make_mesh(data=8, model=1)
+    mesh = make_mesh(data=d, model=m)
     sh = Shardings(mesh)
     cfg = tiny_model_cfg(32, (16, 8), dropout=0.0, d_model=8, d_ff=16)
     tr = Trainer(cfg, TrainConfig(warmup_steps=10), mesh=mesh, shardings=sh)
@@ -64,9 +65,27 @@ def test_two_process_dp_matches_single_process(tmp_path):
     base = jax.random.PRNGKey(1)
     single = []
     for _ in range(3):
-        st, m = tr.train_step(st, gb, base)
-        single.append(float(m["loss"]))
-    np.testing.assert_allclose(results[0]["losses"], single, rtol=1e-5)
+        st, mt = tr.train_step(st, gb, base)
+        single.append(float(mt["loss"]))
+    return results[0]["losses"], results[1]["losses"], single
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    l0, l1, single = _run_workers_and_single(tmp_path, "8x1")
+    # both hosts observe the identical (globally-reduced) loss sequence
+    assert l0 == l1
+    # and it matches the same training run on a single-process mesh
+    np.testing.assert_allclose(l0, single, rtol=1e-5)
+
+
+def test_two_process_dp_tp_matches_single_process(tmp_path):
+    """dp across hosts × tp within host — the recommended pod layout
+    (parallel/multihost.py): model-sharded params assemble per-process
+    and the tp reduces stay intra-host while the gradient psum crosses
+    the process boundary."""
+    l0, l1, single = _run_workers_and_single(tmp_path, "4x2")
+    assert l0 == l1
+    np.testing.assert_allclose(l0, single, rtol=1e-5)
 
 
 def test_cli_generate_two_processes(tiny_corpus, tmp_path):
