@@ -102,17 +102,8 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
                                   max_length=10 ** 9,
                                   separate_caption=data_cfg.separate_caption)
     if decode_cfg.uniform_shapes and plans:
-        # one compiled beam program for the whole run: pad every batch to
-        # the global maxima (bucket rounding then happens in make_batch)
-        import dataclasses as _dc
-        h = max(p.h_len for p in plans)
-        q = max(p.q_len for p in plans)
-        a = max(p.a_len for p in plans)
-        c = max(p.c_len for p in plans)
-        x = [max(p.x_len[i] for p in plans)
-             for i in range(len(plans[0].x_len))]
-        plans = [_dc.replace(p, h_len=h, q_len=q, a_len=a, c_len=c,
-                             x_len=list(x)) for p in plans]
+        from mtn_tpu.data.batching import uniform_plans
+        plans = uniform_plans(plans)
     answers = {}
     scores = {}
     nbest = {}
@@ -181,7 +172,7 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
                 "%.2f responses/sec", t_first[0] - t0,
                 max(n - decode_cfg.turn_batch, 0) / max(steady, 1e-9))
     else:
-        for plan in plans:
+        for bi, plan in enumerate(plans):
             hb = make_batch(dataset, plan,
                             separate_caption=data_cfg.separate_caption,
                             skip=data_cfg.skip,
@@ -189,7 +180,7 @@ def generate_responses(params, model_cfg, dataset, decode_cfg, data_cfg,
                             feature_bucket=data_cfg.feature_bucket,
                             pad_rows_to=decode_cfg.turn_batch)
             db = to_device(hb)
-            toks = (decoder.sample_batch(params, db)
+            toks = (decoder.sample_batch(params, db, fold=bi)
                     if decode_cfg.decode_style == "sample"
                     else decoder.greedy_batch(params, db))
             for qa_id, row in zip(plan.qa_ids, toks):

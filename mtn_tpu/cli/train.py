@@ -190,10 +190,9 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.rand_seed)
     init_it = BatchIterator(train_data, train_plans[:1], data_cfg,
                             train=False, prefetch=0)
-    from mtn_tpu.train.batch import device_batch
-    sample = device_batch(next(iter(init_it)))
-    if shardings is not None:
-        sample = shardings.put_batch(sample)
+    from mtn_tpu.train.batch import to_device_fn
+    to_device = to_device_fn(data_cfg.feature_dtype, shardings)
+    sample = to_device(next(iter(init_it)))
     state = trainer.init_state(rng, sample)
     start_epoch = 0
     resume = args.resume
@@ -220,8 +219,6 @@ def main(argv=None):
     logging.info("----------------")
     min_valid_loss = float("inf")
     bestmodel_num = 0
-    from mtn_tpu.train.batch import to_device_fn
-    to_device = to_device_fn(data_cfg.feature_dtype, shardings)
     base_rng = jax.random.PRNGKey(args.rand_seed + 1)
     with profiling.trace(args.profile_dir):
         for epoch in range(start_epoch, args.num_epochs):

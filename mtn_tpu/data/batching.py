@@ -26,7 +26,7 @@ reference's global seed (train.py:108-109) — parity is statistical.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -87,6 +87,22 @@ def make_batch_indices(data: DialogueDataset, batchsize: int = 100,
         ))
         bs = be
     return plans, n_samples
+
+
+def uniform_plans(plans: List[BatchPlan]) -> List[BatchPlan]:
+    """Pad every plan's lengths to the global maxima so one compiled
+    program serves the whole run (the generate CLI's --uniform_shapes
+    law; bucket rounding still happens later in make_batch)."""
+    if not plans:
+        return plans
+    h = max(p.h_len for p in plans)
+    q = max(p.q_len for p in plans)
+    a = max(p.a_len for p in plans)
+    c = max(p.c_len for p in plans)
+    x = [max(p.x_len[i] for p in plans)
+         for i in range(len(plans[0].x_len))]
+    return [replace(p, h_len=h, q_len=q, a_len=a, c_len=c, x_len=list(x))
+            for p in plans]
 
 
 @dataclass

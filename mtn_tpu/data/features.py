@@ -39,26 +39,41 @@ class FeatureRegistry:
                  vid_set: Sequence[str]):
         self.fea_types = list(fea_types)
         self.streams: List[Dict[str, Tuple[str, int]]] = []
+        # streams containing any 3-D per-frame array (T, R, D): regions
+        # are flattened into the frame axis at load time (see
+        # load_features), so n_frames here is the post-flatten T*R
+        self._has_3d: List[bool] = []
         for ftype in self.fea_types:
             basepath = fea_path_template.replace("<FeaType>", ftype)
             stream: Dict[str, Tuple[str, int]] = {}
+            any_3d = False
             for vid in vid_set:
                 filepath = basepath.replace("<ImageID>", vid)
                 shape = get_npy_shape(filepath)
-                if len(shape) != 2:
+                if len(shape) == 2:
+                    n = shape[0]
+                elif len(shape) == 3:
                     # The reference nominally pads 3-D per-frame arrays
-                    # (data_handler.py:237-238) but that path is broken
-                    # end-to-end (its mask law data_utils.py:29 only
-                    # handles 2-D); fail loudly instead of emitting a
-                    # cryptic shape error downstream.
+                    # (data_handler.py:237-238) but its path is broken
+                    # end-to-end (the mask law data_utils.py:29 only
+                    # handles 2-D). Here the region axis is flattened
+                    # into the frame axis — every (frame, region) vector
+                    # becomes one attention key, information-preserving
+                    # and compatible with the 2-D mask law.
+                    n = shape[0] * shape[1]
+                    any_3d = True
+                else:
                     raise NotImplementedError(
                         f"{filepath}: {len(shape)}-D feature array "
-                        f"{shape}; only 2-D (n_frames, dim) per-video "
-                        "features are supported (the reference's 3-D "
-                        "path, data_handler.py:237, is itself broken "
-                        "end-to-end)")
-                stream[vid] = (filepath, shape[0])
+                        f"{shape}; only 2-D (n_frames, dim) and 3-D "
+                        "(n_frames, regions, dim) per-video features "
+                        "are supported")
+                stream[vid] = (filepath, n)
             self.streams.append(stream)
+            self._has_3d.append(any_3d)
+
+    def has_3d(self, stream_idx: int) -> bool:
+        return self._has_3d[stream_idx]
 
     def __len__(self) -> int:
         return len(self.streams)
@@ -128,15 +143,21 @@ def load_features(registry: FeatureRegistry, vids: Sequence[str],
     for i in range(len(registry)):
         paths = [registry.path(i, vid) for vid in vids]
         s = skip[i] if i < len(skip) else 1
-        if native is not None and all(p.endswith(".npy") for p in paths):
+        if (native is not None and not registry.has_3d(i)
+                and all(p.endswith(".npy") for p in paths)):
             arr, ln = native.load_batch(paths, int(max_frames[i]), s)
         else:
-            first = _load_npy(paths[0])[::s]
+            # frame skip applies to the time axis; 3-D (T, R, D) arrays
+            # then flatten regions into frames (FeatureRegistry note)
+            def _read(p):
+                a = _load_npy(p)[::s]
+                return a.reshape(-1, a.shape[-1]) if a.ndim == 3 else a
+            first = _read(paths[0])
             D = first.shape[-1]
             arr = np.zeros((B, int(max_frames[i]), D), dtype=np.float32)
             ln = np.zeros((B,), dtype=np.int32)
             for j, p in enumerate(paths):
-                a = first if j == 0 else _load_npy(p)[::s]
+                a = first if j == 0 else _read(p)
                 n = min(a.shape[0], arr.shape[1])
                 arr[j, :n] = a[:n]
                 ln[j] = n

@@ -283,7 +283,10 @@ class BeamDecoder:
             # operating on shifted/unnormalized logits is fine
             logits = logp / max(temp, 1e-6)
             if top_k and top_k > 0:
-                kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+                # clamp: lax.top_k requires k <= V, and top_k >= V is a
+                # no-op filter anyway
+                k = min(int(top_k), logits.shape[-1])
+                kth = jax.lax.top_k(logits, k)[0][:, -1:]
                 logits = jnp.where(logits < kth, NEG_INF, logits)
             if top_p and top_p > 0.0:
                 V = logits.shape[-1]
@@ -331,13 +334,20 @@ class BeamDecoder:
         return jax.jit(sample_fn)
 
     def sample_batch(self, params, batch: DeviceBatch,
-                     rng=None) -> List[List[int]]:
+                     rng=None, fold: int = 0) -> List[List[int]]:
         """Sample one continuation per row; tokens after <sos>, cut at
-        <eos> (same output convention as greedy_batch)."""
+        <eos> (same output convention as greedy_batch).
+
+        ``fold`` distinguishes batches within one seeded run: without
+        it every batch would reuse the identical per-position Gumbel
+        noise (rows at the same index in different batches would draw
+        correlated samples). Callers pass their batch counter."""
         if self._sample_fn is None:
             self._sample_fn = self._build_sample()
         if rng is None:
             rng = jax.random.PRNGKey(self.cfg.sample_seed)
+            if fold:
+                rng = jax.random.fold_in(rng, fold)
         toks, valid = self._gather(
             self._sample_fn(params, batch, rng), batch.valid)
         return self._cut_rows(toks, valid)

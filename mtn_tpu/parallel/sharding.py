@@ -144,5 +144,41 @@ class Shardings:
                 batch))
 
     def _put_process_local(self, x):
+        # batch_spec reads .ndim without materializing device arrays
         return self._make_global(
-            x, NamedSharding(self.mesh, self.batch_spec(np.asarray(x))))
+            x, NamedSharding(self.mesh, self.batch_spec(x)))
+
+    def put_host_batch(self, hb, feature_dtype: str = "float32"):
+        """Multi-process HostBatch → global DeviceBatch, host-side.
+
+        Each process slices ITS data-parallel rows on the host (numpy)
+        and uploads only that slab — true per-host input sharding with a
+        single wire crossing per batch (multihost.py contract). The
+        int8 feature transfer composes: quantization happens on host, so
+        the bytes that cross the wire are the int8 slab; dequantization
+        runs on the assembled global array."""
+        from mtn_tpu.train.batch import (DeviceBatch, _dequant_int8,
+                                         host_quant_int8)
+        import jax.numpy as jnp
+
+        def put(x):
+            x = np.asarray(x)
+            return self._make_global(
+                x, NamedSharding(self.mesh, self.batch_spec(x)))
+
+        cap = hb.cap
+        if cap is None:  # device_batch's all-<blank> caption law
+            cap = np.ones((hb.query.shape[0], 1), dtype=np.int32)
+        if feature_dtype == "int8":
+            fts = tuple(_dequant_int8(put(q), put(s))
+                        for q, s in map(host_quant_int8, hb.fts))
+        elif feature_dtype != "float32":
+            fdt = jnp.dtype(feature_dtype)  # ml_dtypes numpy dtype
+            fts = tuple(put(np.asarray(f).astype(fdt)) for f in hb.fts)
+        else:
+            fts = tuple(put(f) for f in hb.fts)
+        return DeviceBatch(
+            query=put(hb.query), his=put(hb.his), cap=put(cap),
+            answer_in=put(hb.answer_in), answer_out=put(hb.answer_out),
+            fts=fts, fts_len=tuple(put(l) for l in hb.fts_len),
+            valid=put(hb.valid))

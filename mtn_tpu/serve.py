@@ -75,7 +75,10 @@ def encode_requests(requests: Sequence[Request], model_cfg, data_cfg, vocab,
             ft = r.features.get(name) if r.features else None
             if ft is None:
                 ft = np.zeros((1, dim), np.float32)
-            ft_arrays[i].append(np.asarray(ft, np.float32))
+            ft = np.asarray(ft, np.float32)
+            if ft.ndim == 3:  # (T, R, D) spatial: flatten regions
+                ft = ft.reshape(-1, ft.shape[-1])
+            ft_arrays[i].append(ft)
     n = len(requests)
     B = max(n, pad_rows_to) if pad_rows_to else n
     pad = vocab[BLANK]
@@ -118,6 +121,7 @@ class ServingSession:
         self.decoder = BeamDecoder(model_cfg, self.decode_cfg, mesh=mesh)
         self._lb = max(self.data_cfg.length_bucket, 1)
         self._fb = max(self.data_cfg.feature_bucket, 1)
+        self._sample_calls = 0  # fold per-call so noise isn't reused
 
     @classmethod
     def from_checkpoint(cls, model_arg: str,
@@ -154,9 +158,12 @@ class ServingSession:
         from mtn_tpu.decode.beam import detokenize
         style = self.decode_cfg.decode_style
         if style in ("greedy", "sample"):
-            rows_out = (self.decoder.sample_batch(self.params, db)
-                        if style == "sample"
-                        else self.decoder.greedy_batch(self.params, db))
+            if style == "sample":
+                rows_out = self.decoder.sample_batch(
+                    self.params, db, fold=self._sample_calls)
+                self._sample_calls += 1
+            else:
+                rows_out = self.decoder.greedy_batch(self.params, db)
             return [(detokenize(r, self.vlist, self.vocab["<eos>"]), 0.0)
                     for r in rows_out]
         results = self.decoder.beam_batch(self.params, db)
@@ -244,6 +251,15 @@ class AsyncServer:
         return batch
 
     def _launch(self, pairs):
+        # Claim each future before doing work: a caller may have
+        # cancelled it while it sat in the queue, and set_result on a
+        # cancelled future raises InvalidStateError (which would kill
+        # this scheduler thread). set_running_or_notify_cancel() both
+        # filters those out and makes the survivors uncancellable.
+        pairs = [(r, f) for r, f in pairs
+                 if f.set_running_or_notify_cancel()]
+        if not pairs:
+            return None
         s = self.session
         reqs = [r for r, _ in pairs]
         hb = encode_requests(reqs, s.model_cfg, s.data_cfg, s.vocab,
@@ -261,9 +277,10 @@ class AsyncServer:
         try:
             results = s.decoder.beam_results(raw, valid)  # blocks
             for (_, fut), res in zip(pairs, results):
-                fut.set_result((detokenize(res.tokens[0], s.vlist,
-                                           s.vocab["<eos>"]),
-                                res.scores[0]))
+                if not fut.done():
+                    fut.set_result((detokenize(res.tokens[0], s.vlist,
+                                               s.vocab["<eos>"]),
+                                    res.scores[0]))
         except BaseException as e:  # surface device errors to callers
             for _, fut in pairs:
                 if not fut.done():
@@ -276,12 +293,25 @@ class AsyncServer:
                 else self._collect()
             if pairs:
                 try:
-                    in_flight.append(self._launch(pairs))
+                    item = self._launch(pairs)
+                    if item is not None:
+                        in_flight.append(item)
                 except BaseException as e:  # encode/dispatch failure
                     for _, fut in pairs:
-                        fut.set_exception(e)
+                        if not fut.done():
+                            fut.set_exception(e)
             # drain when at device capacity, or whenever there is
             # nothing new to launch (so lone batches resolve promptly)
             if in_flight and (not pairs
                               or len(in_flight) >= self.max_in_flight):
                 self._drain(in_flight.pop(0))
+        # A submit() racing stop() can enqueue after the final emptiness
+        # check above; fail such leftovers instead of hanging callers.
+        import queue
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if fut.set_running_or_notify_cancel():
+                fut.set_exception(RuntimeError("AsyncServer stopped"))

@@ -44,14 +44,20 @@ def _dequant_int8(q, scale):
     return q.astype(jnp.float32) * scale
 
 
-def _int8_transfer(f: np.ndarray) -> jnp.ndarray:
-    """Quantize per frame on the host, ship int8 + f32 scales (≈¼ the
-    f32 bytes, ½ of bf16), dequantize on device. Row-wise absmax scaling
-    keeps the relative error ≤ 1/254 per frame — opt-in for
-    transfer-bound hosts (docs/BENCH.md)."""
+def host_quant_int8(f: np.ndarray):
+    """Per-frame absmax int8 quantization on the host: returns
+    ``(q int8, scale f32)`` ready to ship (≈¼ the f32 bytes, ½ of
+    bf16); relative error ≤ 1/254 per frame (docs/BENCH.md)."""
     scale = np.abs(f).max(axis=-1, keepdims=True).astype(np.float32) / 127.0
     np.maximum(scale, 1e-12, out=scale)
     q = np.rint(f / scale).astype(np.int8)
+    return q, scale
+
+
+def _int8_transfer(f: np.ndarray) -> jnp.ndarray:
+    """Quantize on host, ship int8 + f32 scales, dequantize on device —
+    opt-in for transfer-bound hosts (docs/BENCH.md)."""
+    q, scale = host_quant_int8(f)
     return _dequant_int8(jnp.asarray(q), jnp.asarray(scale))
 
 
@@ -80,9 +86,16 @@ def device_batch(hb: HostBatch,
 def to_device_fn(feature_dtype: str = "float32", shardings=None):
     """HostBatch -> DeviceBatch transfer closure shared by the CLIs:
     `device_batch` with the configured feature transfer dtype, then
-    `shardings.put_batch` when running under a mesh."""
+    `shardings.put_batch` when running under a mesh.
+
+    Multi-process: go host→global directly (`put_host_batch`) so each
+    host uploads only the rows its devices own — per-host input
+    sharding with ONE wire crossing per batch, instead of uploading the
+    full batch to the local device and fetching it back to slice."""
     if shardings is None:
         return lambda hb: device_batch(hb, feature_dtype)
+    if jax.process_count() > 1:
+        return lambda hb: shardings.put_host_batch(hb, feature_dtype)
     return lambda hb: shardings.put_batch(device_batch(hb, feature_dtype))
 
 

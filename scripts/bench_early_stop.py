@@ -17,7 +17,6 @@ Prints one JSON line:
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import sys
@@ -45,7 +44,7 @@ def main():
     from mtn_tpu.cli.generate import _split_model_arg
     from mtn_tpu.config import DecodeConfig, TrainConfig, config_from_dict
     from mtn_tpu.data import load, make_batch_indices
-    from mtn_tpu.data.batching import make_batch
+    from mtn_tpu.data.batching import make_batch, uniform_plans
     from mtn_tpu.decode.beam import BeamDecoder
     from mtn_tpu.train.batch import device_batch
     from mtn_tpu.train.trainer import Trainer
@@ -68,14 +67,8 @@ def main():
 
     plans, _ = make_batch_indices(data, TURN_BATCH, max_length=10 ** 9,
                                   separate_caption=data_cfg.separate_caption)
-    # uniform shapes: one compiled program per variant
-    h = max(p.h_len for p in plans)
-    q = max(p.q_len for p in plans)
-    a = max(p.a_len for p in plans)
-    c = max(p.c_len for p in plans)
-    x = [max(p.x_len[i] for p in plans) for i in range(len(plans[0].x_len))]
-    plans = [dataclasses.replace(p, h_len=h, q_len=q, a_len=a, c_len=c,
-                                 x_len=list(x)) for p in plans][:n_batches]
+    # uniform shapes: one compiled program per variant (the CLI's law)
+    plans = uniform_plans(plans)[:n_batches]
     batches = []
     for p in plans:
         hb = make_batch(data, p, separate_caption=data_cfg.separate_caption,

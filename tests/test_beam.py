@@ -217,6 +217,32 @@ def test_sample_deterministic_per_seed(setup):
     assert a == b  # same default seed → identical draws
 
 
+def test_sample_fold_varies_across_batches(setup):
+    """Without the fold, every batch of a seeded run reuses the exact
+    per-(row, position) Gumbel noise; folding the batch counter must
+    decorrelate the streams while fold=0 stays the unfolded default."""
+    cfg, model, params, db = setup
+    dec = BeamDecoder(cfg, DecodeConfig(maxlen=8, decode_style="sample",
+                                        temperature=5.0))
+    base = dec.sample_batch(params, db)
+    assert dec.sample_batch(params, db, fold=0) == base
+    # near-uniform sampling over 20 tokens x 8 positions x 3 rows:
+    # identical outputs across folds would be a (1/20)^~24 coincidence
+    folded = [dec.sample_batch(params, db, fold=i) for i in (1, 2, 3)]
+    assert any(f != base for f in folded)
+
+
+def test_sample_top_k_clamped_to_vocab(setup):
+    """top_k >= vocab is a no-op filter and must not crash lax.top_k
+    (k<=V requirement) — it samples exactly like the unfiltered dist."""
+    cfg, model, params, db = setup
+    plain = BeamDecoder(cfg, DecodeConfig(
+        maxlen=5, decode_style="sample", temperature=1.0))
+    huge = BeamDecoder(cfg, DecodeConfig(
+        maxlen=5, decode_style="sample", temperature=1.0, top_k=10 ** 6))
+    assert huge.sample_batch(params, db) == plain.sample_batch(params, db)
+
+
 def test_sample_early_stop_matches_full(setup):
     """Per-step rng is keyed by position (fold_in(rng, l)), so the
     while_loop early exit cannot change any pre-exit draw."""

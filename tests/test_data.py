@@ -171,15 +171,45 @@ def test_make_batch_padding_and_buckets(tiny_ds):
     assert (hb.query[0, len(t.question):] == pad).all()
 
 
-def test_3d_feature_arrays_rejected_with_clear_error(tmp_path):
-    """3-D per-frame arrays (reference data_handler.py:237) are
-    unsupported by design — the error must say so, not fail with an
-    opaque shape mismatch downstream (VERDICT r1 missing #4)."""
+def test_3d_feature_arrays_flatten_regions_into_frames(tmp_path):
+    """3-D per-frame (T, R, D) arrays — the reference's data path for
+    them (data_handler.py:237) is broken end-to-end — load here by
+    flattening regions into the frame axis: every (frame, region)
+    vector becomes one attention key, compatible with the 2-D mask law.
+    Frame skip applies to the time axis before the flatten."""
+    from mtn_tpu.data.features import FeatureRegistry, load_features
+    d = tmp_path / "i3d_rgb"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    a0 = rng.standard_normal((5, 3, 7)).astype(np.float32)
+    a1 = rng.standard_normal((2, 3, 7)).astype(np.float32)
+    np.save(d / "VID000.npy", a0)
+    np.save(d / "VID001.npy", a1)
+    reg = FeatureRegistry(["i3d_rgb"], str(tmp_path / "<FeaType>" /
+                                           "<ImageID>.npy"),
+                          ["VID000", "VID001"])
+    assert reg.n_frames(0, "VID000") == 15  # 5 frames x 3 regions
+    assert reg.feature_dims() == [7]
+    fts, lens = load_features(reg, ["VID000", "VID001"],
+                              max_frames=[15], skip=[1])
+    assert fts[0].shape == (2, 15, 7)
+    assert lens[0].tolist() == [15, 6]
+    np.testing.assert_array_equal(fts[0][0], a0.reshape(15, 7))
+    np.testing.assert_array_equal(fts[0][1, :6], a1.reshape(6, 7))
+    assert (fts[0][1, 6:] == 0).all()  # zero padding past real keys
+    # skip=2 keeps frames 0,2,4 of the time axis, then flattens
+    fts, lens = load_features(reg, ["VID000"], max_frames=[15], skip=[2])
+    assert lens[0].tolist() == [9]
+    np.testing.assert_array_equal(fts[0][0, :9], a0[::2].reshape(9, 7))
+
+
+def test_4d_feature_arrays_rejected_with_clear_error(tmp_path):
+    """Ranks beyond 3 have no defined semantics — the error must say
+    so, not fail with an opaque shape mismatch downstream."""
     from mtn_tpu.data.features import FeatureRegistry
     d = tmp_path / "i3d_rgb"
     d.mkdir()
-    np.save(d / "VID000.npy",
-            np.zeros((5, 3, 7), dtype=np.float32))
-    with pytest.raises(NotImplementedError, match="3-D feature array"):
+    np.save(d / "VID000.npy", np.zeros((5, 3, 2, 7), dtype=np.float32))
+    with pytest.raises(NotImplementedError, match="4-D feature array"):
         FeatureRegistry(["i3d_rgb"], str(tmp_path / "<FeaType>" /
                                          "<ImageID>.npy"), ["VID000"])

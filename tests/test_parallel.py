@@ -94,3 +94,34 @@ def test_beam_decode_under_dp_mesh():
     res = dec.beam_batch(st.params, sh.put_batch(db))
     for a, b in zip(base, res):
         assert a.tokens == b.tokens
+
+
+def test_put_host_batch_matches_put_batch():
+    """put_host_batch (host→global slab upload, the multi-process path
+    of to_device_fn) must produce arrays identical to
+    put_batch(device_batch(hb)) — same shardings, same values — for
+    plain f32, bf16, and the int8 feature transfer."""
+    from mtn_tpu.data.batching import HostBatch
+    from mtn_tpu.train.batch import device_batch
+    rng = np.random.default_rng(3)
+    B = 8
+    hb = HostBatch(
+        query=rng.integers(1, 30, (B, 5)).astype(np.int32),
+        his=rng.integers(1, 30, (B, 7)).astype(np.int32),
+        answer_in=rng.integers(1, 30, (B, 4)).astype(np.int32),
+        answer_out=rng.integers(1, 30, (B, 4)).astype(np.int32),
+        cap=None,
+        fts=[rng.standard_normal((B, 4, 16)).astype(np.float32),
+             rng.standard_normal((B, 3, 8)).astype(np.float32)],
+        fts_len=[np.full((B,), 4, np.int32), np.full((B,), 3, np.int32)],
+        valid=np.ones((B,), bool))
+    mesh = make_mesh(data=4, model=2)
+    sh = Shardings(mesh)
+    for dt in ("float32", "bfloat16", "int8"):
+        a = sh.put_batch(device_batch(hb, dt))
+        b = sh.put_host_batch(hb, dt)
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            assert x.shape == y.shape and x.dtype == y.dtype
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        assert b.query.sharding.spec == P("data", None)
+        assert b.fts[0].sharding.spec == P("data", None, None)

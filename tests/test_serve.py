@@ -63,13 +63,24 @@ def test_serving_sample_style(served):
     prefix, feats = served
     from mtn_tpu.config import DecodeConfig
     from mtn_tpu.serve import ServingSession
-    session = ServingSession.from_checkpoint(
-        prefix + "_best", DecodeConfig(maxlen=6, decode_style="sample",
-                                       temperature=0.7, top_k=5))
-    a = session.respond(question="is there any sound ?", features=feats)
-    b = session.respond(question="is there any sound ?", features=feats)
+
+    def mk():
+        return ServingSession.from_checkpoint(
+            prefix + "_best", DecodeConfig(maxlen=6, decode_style="sample",
+                                           temperature=0.7, top_k=5))
+
+    s1, s2 = mk(), mk()
+    a = s1.respond(question="is there any sound ?", features=feats)
     assert isinstance(a, str)
-    assert a == b  # same seed → deterministic
+    # deterministic per (seed, call index): a fresh session replays the
+    # same stream — but within a session each call folds its counter so
+    # sampling noise is NOT reused across calls (repeat questions can
+    # legitimately draw different answers)
+    assert s2.respond(question="is there any sound ?",
+                      features=feats) == a
+    b1 = s1.respond(question="is there any sound ?", features=feats)
+    b2 = s2.respond(question="is there any sound ?", features=feats)
+    assert b1 == b2  # second-call streams also agree across sessions
 
 
 def test_async_server_continuous_batching(served):
@@ -121,6 +132,58 @@ def test_async_server_surfaces_errors(served):
                              features=feats), timeout=120)
     srv.stop()
     assert isinstance(ok[0], str)
+
+
+def test_async_server_survives_cancelled_future(served):
+    """A caller cancelling its future while it waits in the queue must
+    not kill the scheduler (set_result on a cancelled future raises
+    InvalidStateError) nor disturb the other requests in its batch."""
+    prefix, feats = served
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import AsyncServer, Request, ServingSession
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2,
+                                       turn_batch=4))
+    srv = AsyncServer(session, max_wait_ms=200)
+    reqs = [Request(question=qx, features=feats)
+            for qx in ("is there any sound ?", "what is he doing ?",
+                       "are there people ?", "is a dog visible ?")]
+    futs = [srv.submit(r) for r in reqs]
+    cancelled = futs[2].cancel()  # may lose the race with the scheduler
+    for i, f in enumerate(futs):
+        if i == 2 and cancelled:
+            assert f.cancelled()
+            continue
+        assert isinstance(f.result(timeout=300)[0], str)
+    # the scheduler thread survives and keeps serving
+    ok = srv.respond(Request(question="is it raining ?",
+                             features=feats), timeout=300)
+    srv.stop()
+    assert isinstance(ok[0], str)
+
+
+def test_async_server_stop_submit_race_never_hangs(served):
+    """A submit racing stop() must resolve the future either with an
+    answer or a 'server stopped' error — never leave it pending (the
+    post-loop queue drain closes the final-emptiness-check race)."""
+    prefix, feats = served
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import AsyncServer, Request, ServingSession
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2,
+                                       turn_batch=4))
+    srv = AsyncServer(session, max_wait_ms=1.0)
+    srv._stop.set()  # simulate stop() winning the race
+    fut = srv.submit(Request(question="is there any sound ?",
+                             features=feats))
+    srv._thread.join(timeout=300)
+    assert not srv._thread.is_alive()
+    assert fut.done()
+    try:
+        ans = fut.result(timeout=0)
+        assert isinstance(ans[0], str)  # scheduler picked it up in time
+    except RuntimeError as e:
+        assert "stopped" in str(e)      # drained at shutdown
 
 
 def test_encode_requests_honors_merge_and_history_laws():
