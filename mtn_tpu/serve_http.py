@@ -1,0 +1,316 @@
+"""HTTP front-end for a trained MTN checkpoint.
+
+The reference has no serving layer at all — "inference" is the offline
+batch script (SURVEY.md §1: "no service/API layer and no serving
+runtime"). mtn_tpu adds :class:`~mtn_tpu.serve.ServingSession`
+(interactive decode) and :class:`~mtn_tpu.serve.AsyncServer`
+(continuous batching); this module exposes them over HTTP using only
+the standard library, so a checkpoint deploys as a network service on a
+TPU host with zero extra dependencies.
+
+API (all JSON)::
+
+    POST /v1/respond        {"question": str,
+                             "history": [[q, a], ...],      # optional
+                             "caption": str,                # optional
+                             "features": {name: value}}     # optional
+                        ->  {"answer": str, "score": float}
+    POST /v1/respond_batch  {"requests": [<respond body>, ...]}
+                        ->  {"results": [{"answer", "score"}, ...]}
+    GET  /healthz       ->  {"ok": true}
+    GET  /stats         ->  {"requests", "errors", "launches",
+                             "uptime_s", "decode_style", "turn_batch"}
+
+A feature ``value`` is either a nested list (2-D ``(T, D)`` or 3-D
+``(T, R, D)``, converted to float32) or ``{"npy_b64": "..."}`` — the
+base64 of an ``np.save`` byte string, the compact form for real
+I3D/VGGish payloads.
+
+Concurrency: ``ThreadingHTTPServer`` gives one handler thread per
+connection. ``beam_search`` sessions route every request through
+``AsyncServer``, so concurrent HTTP callers are packed into shared
+``turn_batch``-padded beam launches (continuous batching over HTTP for
+free). ``greedy``/``sample`` sessions serialize behind a lock —
+``ServingSession`` is thread-unsafe and the sample path advances an rng
+fold counter.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mtn_tpu.serve import AsyncServer, Request, ServingSession
+
+
+class BadRequest(ValueError):
+    """Client-side error -> HTTP 400 with the message."""
+
+
+def _parse_features(obj) -> Dict[str, np.ndarray]:
+    if obj is None:
+        return {}
+    if not isinstance(obj, dict):
+        raise BadRequest("'features' must be an object {name: array}")
+    out = {}
+    for name, val in obj.items():
+        if isinstance(val, dict):
+            b64 = val.get("npy_b64")
+            if b64 is None:
+                raise BadRequest(
+                    f"feature {name!r}: object form needs 'npy_b64'")
+            try:
+                arr = np.load(io.BytesIO(base64.b64decode(b64)),
+                              allow_pickle=False)
+            except Exception as e:
+                raise BadRequest(f"feature {name!r}: bad npy_b64 ({e})")
+        else:
+            try:
+                arr = np.asarray(val, dtype=np.float32)
+            except (TypeError, ValueError) as e:
+                raise BadRequest(f"feature {name!r}: not numeric ({e})")
+        if arr.ndim not in (2, 3):
+            raise BadRequest(
+                f"feature {name!r}: rank {arr.ndim}, want 2-D (T, D) "
+                "or 3-D (T, R, D)")
+        out[name] = np.asarray(arr, dtype=np.float32)
+    return out
+
+
+def parse_request(obj) -> Request:
+    """One /v1/respond JSON body -> serve.Request (with validation)."""
+    if not isinstance(obj, dict):
+        raise BadRequest("request body must be a JSON object")
+    question = obj.get("question")
+    if not isinstance(question, str) or not question.strip():
+        raise BadRequest("'question' (non-empty string) is required")
+    history_raw = obj.get("history", [])
+    if not isinstance(history_raw, list):
+        raise BadRequest("'history' must be a list of [question, answer]")
+    history: List[Tuple[str, str]] = []
+    for turn in history_raw:
+        if (not isinstance(turn, (list, tuple)) or len(turn) != 2
+                or not all(isinstance(t, str) for t in turn)):
+            raise BadRequest(
+                "'history' entries must be [question, answer] string pairs")
+        history.append((turn[0], turn[1]))
+    caption = obj.get("caption", "")
+    if not isinstance(caption, str):
+        raise BadRequest("'caption' must be a string")
+    return Request(question=question, history=history, caption=caption,
+                   features=_parse_features(obj.get("features")))
+
+
+class MTNServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer + the shared serving state.
+
+    ``beam_search`` checkpoints get an :class:`AsyncServer` so requests
+    from different connections share compiled beam launches; other
+    decode styles get a plain lock around the (thread-unsafe) session.
+    """
+
+    daemon_threads = True
+
+    def __init__(self, addr, session: ServingSession,
+                 max_in_flight: int = 2, max_wait_ms: float = 5.0):
+        super().__init__(addr, _Handler)
+        self.session = session
+        self.async_server: Optional[AsyncServer] = None
+        if session.decode_cfg.decode_style == "beam_search":
+            self.async_server = AsyncServer(
+                session, max_in_flight=max_in_flight,
+                max_wait_ms=max_wait_ms)
+        self._lock = threading.Lock()
+        self._t0 = time.time()
+        self.n_requests = 0
+        self.n_errors = 0
+        self._count_lock = threading.Lock()
+
+    # -- serving ------------------------------------------------------------
+    def respond_one(self, req: Request) -> Tuple[str, float]:
+        if self.async_server is not None:
+            return self.async_server.respond(req)
+        with self._lock:
+            return self.session.respond_batch([req])[0]
+
+    def respond_many(self, reqs: List[Request]) -> List[Tuple[str, float]]:
+        if self.async_server is not None:
+            # submit all first so the scheduler can pack them together
+            futs = [self.async_server.submit(r) for r in reqs]
+            return [f.result() for f in futs]
+        with self._lock:
+            return self.session.respond_batch(reqs)
+
+    def stats(self) -> dict:
+        with self._count_lock:
+            n, e = self.n_requests, self.n_errors
+        return {
+            "requests": n,
+            "errors": e,
+            "launches": (self.async_server.launches
+                         if self.async_server else None),
+            "uptime_s": round(time.time() - self._t0, 3),
+            "decode_style": self.session.decode_cfg.decode_style,
+            "turn_batch": self.session.decode_cfg.turn_batch,
+        }
+
+    def count(self, error: bool = False):
+        with self._count_lock:
+            self.n_requests += 1
+            if error:
+                self.n_errors += 1
+
+    def close(self):
+        """Stop accepting connections and drain the batcher."""
+        self.shutdown()
+        self.server_close()
+        if self.async_server is not None:
+            self.async_server.stop()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    server: MTNServer  # set by ThreadingHTTPServer machinery
+
+    # -- plumbing -----------------------------------------------------------
+    def _send(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # route to logging, not stderr
+        import logging
+        logging.getLogger("mtn_tpu.serve_http").debug(fmt, *args)
+
+    def _read_json(self):
+        n = int(self.headers.get("Content-Length") or 0)
+        if n <= 0:
+            raise BadRequest("empty body")
+        try:
+            return json.loads(self.rfile.read(n))
+        except json.JSONDecodeError as e:
+            raise BadRequest(f"invalid JSON: {e}")
+
+    # -- routes -------------------------------------------------------------
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._send(200, {"ok": True})
+        elif self.path == "/stats":
+            self._send(200, self.server.stats())
+        else:
+            self._send(404, {"error": f"no such path: {self.path}"})
+
+    def do_POST(self):
+        srv = self.server
+        try:
+            if self.path == "/v1/respond":
+                req = parse_request(self._read_json())
+                answer, score = srv.respond_one(req)
+                srv.count()
+                self._send(200, {"answer": answer, "score": float(score)})
+            elif self.path == "/v1/respond_batch":
+                body = self._read_json()
+                raw = body.get("requests") if isinstance(body, dict) else None
+                if not isinstance(raw, list) or not raw:
+                    raise BadRequest(
+                        "'requests' (non-empty list) is required")
+                reqs = [parse_request(r) for r in raw]
+                results = srv.respond_many(reqs)
+                srv.count()
+                self._send(200, {"results": [
+                    {"answer": a, "score": float(s)} for a, s in results]})
+            else:
+                self._send(404, {"error": f"no such path: {self.path}"})
+        except BadRequest as e:
+            srv.count(error=True)
+            self._send(400, {"error": str(e)})
+        except Exception as e:  # device/model failure
+            srv.count(error=True)
+            self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def start_server(session: ServingSession, host: str = "127.0.0.1",
+                 port: int = 0, max_in_flight: int = 2,
+                 max_wait_ms: float = 5.0) -> MTNServer:
+    """Bind and serve on a daemon thread; returns the (running) server.
+    ``port=0`` binds an ephemeral port (``server.server_address[1]``)."""
+    srv = MTNServer((host, port), session, max_in_flight=max_in_flight,
+                    max_wait_ms=max_wait_ms)
+    t = threading.Thread(target=srv.serve_forever, daemon=True,
+                         name="mtn-http")
+    t.start()
+    return srv
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    from mtn_tpu.cli.common import (add_logging_args, make_mesh_from_args,
+                                    setup_logging)
+    from mtn_tpu.config import DecodeConfig
+
+    parser = argparse.ArgumentParser(
+        description="Serve a trained MTN checkpoint over HTTP")
+    parser.add_argument("--model", required=True,
+                        help="checkpoint prefix (e.g. exps/x/mtn_best)")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", default=8080, type=int)
+    parser.add_argument("--beam", default=5, type=int)
+    parser.add_argument("--penalty", default=1.0, type=float)
+    parser.add_argument("--nbest", default=5, type=int)
+    parser.add_argument("--maxlen", default=30, type=int)
+    parser.add_argument("--min-len", default=1, type=int)
+    parser.add_argument("--decode-style", default="beam_search",
+                        choices=["beam_search", "greedy", "sample"])
+    parser.add_argument("--temperature", default=1.0, type=float)
+    parser.add_argument("--top-k", default=0, type=int)
+    parser.add_argument("--top-p", default=0.0, type=float)
+    parser.add_argument("--sample-seed", default=1, type=int)
+    parser.add_argument("--turn-batch", default=16, type=int,
+                        help="server batch size (requests per launch)")
+    parser.add_argument("--max-wait-ms", default=5.0, type=float,
+                        help="batching window: max wait for co-riders")
+    parser.add_argument("--max-in-flight", default=2, type=int,
+                        help="device batches dispatched concurrently")
+    parser.add_argument("--mesh-data", default=-1, type=int)
+    parser.add_argument("--mesh-model", default=1, type=int)
+    add_logging_args(parser)
+    args = parser.parse_args(argv)
+    setup_logging(args.verbose)
+
+    import logging
+    decode_cfg = DecodeConfig(
+        maxlen=args.maxlen, beam=args.beam, penalty=args.penalty,
+        nbest=args.nbest, min_len=args.min_len,
+        decode_style=args.decode_style, temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p, sample_seed=args.sample_seed,
+        turn_batch=args.turn_batch)
+    mesh, _ = make_mesh_from_args(args, batch_size=args.turn_batch)
+    session = ServingSession.from_checkpoint(args.model, decode_cfg,
+                                             mesh=mesh)
+    srv = MTNServer((args.host, args.port), session,
+                    max_in_flight=args.max_in_flight,
+                    max_wait_ms=args.max_wait_ms)
+    logging.info("serving %s on http://%s:%d (style=%s, turn_batch=%d)",
+                 args.model, *srv.server_address, args.decode_style,
+                 args.turn_batch)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        logging.info("shutting down")
+        srv.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

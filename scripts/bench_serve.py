@@ -1,11 +1,14 @@
 """Serving-latency benchmark on a trained checkpoint (real TPU).
 
-Usage: python scripts/bench_serve.py <model_prefix[_best]> [n_iters]
+Usage: python scripts/bench_serve.py <model_prefix[_best]> [n_iters] [--http]
 
 Measures ServingSession end-to-end latency (host encode + upload + beam
 + download) for single interactive turns and a turn_batch-sized burst,
 with the default DecodeConfig (early termination on) and with the fixed
-30-step scan for comparison. Prints one JSON line.
+30-step scan for comparison. With --http, additionally drives the
+stdlib HTTP front-end (serve_http) over real sockets — single-turn p50
+and 64 concurrent clients — to price the network layer vs the direct
+AsyncServer path. Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -23,8 +26,10 @@ N_ITERS = 20
 
 
 def main():
-    model_arg = sys.argv[1]
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else N_ITERS
+    args = [a for a in sys.argv[1:] if a != "--http"]
+    do_http = "--http" in sys.argv[1:]
+    model_arg = args[0]
+    iters = int(args[1]) if len(args) > 1 else N_ITERS
 
     from mtn_tpu.config import DecodeConfig
     from mtn_tpu.serve import Request, ServingSession
@@ -80,6 +85,71 @@ def main():
     srv.stop()
     out["async64_rps"] = round(64 / sec, 1)
     out["async64_launches"] = srv.launches
+
+    if do_http:
+        # price the HTTP layer: same checkpoint/session class behind the
+        # stdlib server; features ship as base64 .npy (the compact form)
+        import base64
+        import io
+        import threading
+        import urllib.request
+
+        from mtn_tpu.serve_http import start_server
+
+        def to_json(req):
+            def b64(a):
+                buf = io.BytesIO()
+                np.save(buf, a)
+                return {"npy_b64": base64.b64encode(buf.getvalue()).decode()}
+            return json.dumps({
+                "question": req.question,
+                "history": [list(t) for t in req.history],
+                "caption": req.caption,
+                "features": {k: b64(v) for k, v in req.features.items()},
+            }).encode()
+
+        def post(base, body):
+            r = urllib.request.Request(
+                base + "/v1/respond", data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST")
+            with urllib.request.urlopen(r, timeout=600) as resp:
+                return json.loads(resp.read())
+
+        http_session = ServingSession.from_checkpoint(
+            model_arg, DecodeConfig(maxlen=30, beam=5, nbest=5))
+        http_session.respond_batch([make_request(997)])    # compile
+        hsrv = start_server(http_session, port=0,
+                            max_in_flight=3, max_wait_ms=5)
+        base = "http://%s:%d" % hsrv.server_address
+        lat = []
+        for i in range(iters):
+            body = to_json(make_request(300 + i))
+            t0 = time.time()
+            post(base, body)
+            lat.append(time.time() - t0)
+        out["http_p50_ms"] = round(1e3 * float(np.percentile(lat, 50)), 1)
+        bodies = [to_json(make_request(400 + i)) for i in range(64)]
+        errs = []
+
+        def call(b):
+            try:
+                post(base, b)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        t0 = time.time()
+        ts = [threading.Thread(target=call, args=(b,)) for b in bodies]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        sec = time.time() - t0
+        hsrv.close()
+        assert not errs, errs[:1]
+        out["http64_rps"] = round(64 / sec, 1)
+        out["http64_launches"] = hsrv.async_server.launches
+
     print(json.dumps(out))
 
 

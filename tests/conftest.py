@@ -47,3 +47,32 @@ def tiny_corpus(tmp_path_factory):
     from tests.fixtures import write_tiny_corpus
     root = tmp_path_factory.mktemp("corpus")
     return write_tiny_corpus(root)
+
+
+@pytest.fixture(scope="session")
+def served(tiny_corpus, tmp_path_factory):
+    """A trained tiny checkpoint + matching feature dict (shared by the
+    serving test modules)."""
+    out = tmp_path_factory.mktemp("serve_exp")
+    prefix = str(out / "mtn")
+    from mtn_tpu.cli.train import main as train_main
+    rc = train_main([
+        "--fea-type", *tiny_corpus.fea_types,
+        "--train-path", tiny_corpus.fea_path,
+        "--train-set", tiny_corpus.train_set,
+        "--valid-path", tiny_corpus.fea_path,
+        "--valid-set", tiny_corpus.valid_set,
+        "--include-caption", "caption,summary",
+        "--separate-caption", "1",
+        "--num-epochs", "1", "--batch-size", "4", "--max-length", "64",
+        "--model", prefix, "--nb-blocks", "1", "--d-model", "16",
+        "--d-ff", "32", "--att-h", "2", "--warmup-steps", "20",
+        "--diff-encoder", "1", "--auto-encoder-ft", "query",
+        "--vocab-cutoff", "0", "--dtype", "float32",
+        "--length-bucket", "8", "--feature-bucket", "4",
+    ])
+    assert rc == 0
+    rng = np.random.default_rng(0)
+    feats = {ft: rng.standard_normal((5, d)).astype(np.float32)
+             for ft, d in zip(tiny_corpus.fea_types, tiny_corpus.ft_dims)}
+    return prefix, feats

@@ -1,0 +1,204 @@
+"""HTTP serving front-end: network surface over ServingSession.
+
+(The reference has no serving/API layer — SURVEY.md §1; this is a
+framework addition, tested end-to-end over real sockets.)"""
+
+import base64
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+def _post(url, payload, timeout=300):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(url, timeout=60):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def http_server(served):
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import ServingSession
+    from mtn_tpu.serve_http import start_server
+    prefix, feats = served
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2,
+                                       turn_batch=4))
+    srv = start_server(session, port=0, max_wait_ms=150.0)
+    base = "http://%s:%d" % srv.server_address
+    yield srv, base, feats
+    srv.close()
+
+
+def test_healthz_and_stats(http_server):
+    srv, base, _ = http_server
+    assert _get(base + "/healthz") == (200, {"ok": True})
+    code, stats = _get(base + "/stats")
+    assert code == 200
+    assert stats["decode_style"] == "beam_search"
+    assert stats["turn_batch"] == 4
+    assert stats["uptime_s"] >= 0
+
+
+def test_respond_over_http(http_server):
+    srv, base, feats = http_server
+    payload = {
+        "question": "is there any sound ?",
+        "history": [["what is he doing ?", "he sits on the couch"]],
+        "caption": "a man sits on a couch reading a book",
+        "features": {k: v.tolist() for k, v in feats.items()},
+    }
+    code, out = _post(base + "/v1/respond", payload)
+    assert code == 200
+    assert isinstance(out["answer"], str)
+    assert isinstance(out["score"], float)
+    # the HTTP surface is a faithful proxy: same answer as calling the
+    # session directly is implied by determinism — same request twice
+    # over the wire must agree
+    assert _post(base + "/v1/respond", payload)[1] == out
+
+
+def test_respond_npy_b64_features(http_server):
+    """Compact feature form: base64 of np.save bytes — must decode the
+    same answer as the nested-list form."""
+    srv, base, feats = http_server
+
+    def b64(a):
+        buf = io.BytesIO()
+        np.save(buf, a)
+        return {"npy_b64": base64.b64encode(buf.getvalue()).decode()}
+
+    q = {"question": "are there people in the video ?"}
+    lists = dict(q, features={k: v.tolist() for k, v in feats.items()})
+    packed = dict(q, features={k: b64(v) for k, v in feats.items()})
+    assert (_post(base + "/v1/respond", lists)[1]
+            == _post(base + "/v1/respond", packed)[1])
+
+
+def test_concurrent_requests_batch_together(http_server):
+    """Concurrent HTTP callers ride the continuous batcher: identical
+    requests resolve identically, and the server packs them into fewer
+    beam launches than requests (the batching window is 150 ms)."""
+    srv, base, feats = http_server
+    payload = {"question": "what is the person doing ?",
+               "features": {k: v.tolist() for k, v in feats.items()}}
+    launches_before = srv.async_server.launches
+    results = [None] * 4
+    errs = []
+
+    def call(i):
+        try:
+            results[i] = _post(base + "/v1/respond", payload)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errs
+    assert all(r is not None and r[0] == 200 for r in results)
+    answers = {r[1]["answer"] for r in results}
+    assert len(answers) == 1  # identical request → identical answer
+    # 4 requests in << 150 ms: strictly fewer launches than requests
+    assert srv.async_server.launches - launches_before < 4
+
+
+def test_respond_batch_endpoint(http_server):
+    srv, base, feats = http_server
+    reqs = [{"question": "is it raining ?"},
+            {"question": "is there any sound ?",
+             "features": {k: v.tolist() for k, v in feats.items()}}]
+    code, out = _post(base + "/v1/respond_batch", {"requests": reqs})
+    assert code == 200
+    assert len(out["results"]) == 2
+    assert all(isinstance(r["answer"], str) for r in out["results"])
+
+
+def test_http_error_codes(http_server):
+    srv, base, _ = http_server
+    # bad JSON -> 400
+    req = urllib.request.Request(base + "/v1/respond", data=b"{nope",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+    # missing question -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/respond", {"caption": "a man"})
+    assert ei.value.code == 400
+    # bad feature rank -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/respond",
+              {"question": "hm ?", "features": {"i3d_rgb": [1.0, 2.0]}})
+    assert ei.value.code == 400
+    # unknown path -> 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/oops", {"question": "hm ?"})
+    assert ei.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(base + "/nope")
+    assert ei.value.code == 404
+    # empty batch -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base + "/v1/respond_batch", {"requests": []})
+    assert ei.value.code == 400
+    # request-processing errors are counted (the four 400s above; 404s
+    # are routing misses, not request failures) and don't kill the
+    # server
+    assert _get(base + "/healthz")[0] == 200
+    assert _get(base + "/stats")[1]["errors"] >= 4
+
+
+def test_greedy_session_lock_path(served):
+    """Non-beam sessions serve through the lock (no AsyncServer)."""
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import ServingSession
+    from mtn_tpu.serve_http import start_server
+    prefix, feats = served
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, decode_style="greedy",
+                                       turn_batch=4))
+    srv = start_server(session, port=0)
+    try:
+        base = "http://%s:%d" % srv.server_address
+        assert srv.async_server is None
+        payload = {"question": "is there any sound ?",
+                   "features": {k: v.tolist() for k, v in feats.items()}}
+        code, out = _post(base + "/v1/respond", payload)
+        assert code == 200 and isinstance(out["answer"], str)
+        assert _get(base + "/stats")[1]["launches"] is None
+    finally:
+        srv.close()
+
+
+def test_parse_request_validation():
+    from mtn_tpu.serve_http import BadRequest, parse_request
+    with pytest.raises(BadRequest):
+        parse_request([])
+    with pytest.raises(BadRequest):
+        parse_request({"question": ""})
+    with pytest.raises(BadRequest):
+        parse_request({"question": "q", "history": [["only-q"]]})
+    with pytest.raises(BadRequest):
+        parse_request({"question": "q", "caption": 3})
+    with pytest.raises(BadRequest):
+        parse_request({"question": "q", "features": {"x": {"b": 1}}})
+    r = parse_request({"question": "q", "history": [["a", "b"]],
+                       "features": {"x": [[1, 2], [3, 4]],
+                                    "y": [[[1], [2]], [[3], [4]]]}})
+    assert r.features["x"].shape == (2, 2)
+    assert r.features["y"].shape == (2, 2, 1)  # 3-D spatial accepted
