@@ -117,6 +117,9 @@ class MTNServer(ThreadingHTTPServer):
     """
 
     daemon_threads = True
+    # socketserver's default listen backlog is 5; a turn_batch-sized
+    # burst of concurrent clients would get connection resets
+    request_queue_size = 128
 
     def __init__(self, addr, session: ServingSession,
                  max_in_flight: int = 2, max_wait_ms: float = 5.0):
@@ -230,6 +233,11 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, {"results": [
                     {"answer": a, "score": float(s)} for a, s in results]})
             else:
+                # drain the unread body so a keep-alive connection's
+                # next request parses from a clean stream
+                n = int(self.headers.get("Content-Length") or 0)
+                if n > 0:
+                    self.rfile.read(n)
                 self._send(404, {"error": f"no such path: {self.path}"})
         except BadRequest as e:
             srv.count(error=True)

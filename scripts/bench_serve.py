@@ -119,8 +119,11 @@ def main():
         http_session = ServingSession.from_checkpoint(
             model_arg, DecodeConfig(maxlen=30, beam=5, nbest=5))
         http_session.respond_batch([make_request(997)])    # compile
+        # wider batching window than the direct path: HTTP request
+        # parsing (JSON + base64 feature decode) serializes on the host
+        # CPU, so co-riders arrive over tens of ms, not microseconds
         hsrv = start_server(http_session, port=0,
-                            max_in_flight=3, max_wait_ms=5)
+                            max_in_flight=3, max_wait_ms=40)
         base = "http://%s:%d" % hsrv.server_address
         lat = []
         for i in range(iters):

@@ -163,6 +163,30 @@ def test_http_error_codes(http_server):
     assert _get(base + "/stats")[1]["errors"] >= 4
 
 
+def test_keep_alive_connection_reuse(http_server):
+    """HTTP/1.1 persistent connection: a 404'd POST (whose body the
+    server must drain) followed by a real request on the SAME socket —
+    the stream must stay parseable."""
+    import http.client
+    srv, base, _ = http_server
+    host, port = srv.server_address
+    conn = http.client.HTTPConnection(host, port, timeout=300)
+    try:
+        body = json.dumps({"question": "hm ?"})
+        conn.request("POST", "/v1/oops", body=body,
+                     headers={"Content-Type": "application/json"})
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+        conn.request("POST", "/v1/respond", body=body,
+                     headers={"Content-Type": "application/json"})
+        r2 = conn.getresponse()
+        assert r2.status == 200
+        assert isinstance(json.loads(r2.read())["answer"], str)
+    finally:
+        conn.close()
+
+
 def test_greedy_session_lock_path(served):
     """Non-beam sessions serve through the lock (no AsyncServer)."""
     from mtn_tpu.config import DecodeConfig
