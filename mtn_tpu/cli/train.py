@@ -63,6 +63,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="also save a rotating step-indexed checkpoint "
                              "every N train steps (resume with "
                              "--resume step)")
+    parser.add_argument("--remat", default=0, type=int,
+                        help="rematerialize decoder layers in backward "
+                             "(jax.checkpoint): ~1 extra forward of FLOPs "
+                             "for O(1-layer) activation memory")
+    parser.add_argument("--accum-steps", default=1, type=int,
+                        help="gradient accumulation: one optimizer update "
+                             "per N batches (exact one-big-batch math, one "
+                             "microbatch of activation memory; requires "
+                             "--uniform-shapes 1)")
     parser.add_argument("--uniform-shapes", default=0, type=int,
                         help="pad every batch to the dataset's global "
                              "maxima: ONE compiled train step (more padding "
@@ -155,7 +164,8 @@ def main(argv=None):
         diff_embed=bool(args.diff_embed), diff_gen=bool(args.diff_gen),
         auto_encoder_ft=args.auto_encoder_ft, dtype=args.dtype,
         use_pallas_attention=bool(args.use_pallas_attention),
-        use_pallas_ffn=bool(args.use_pallas_ffn))
+        use_pallas_ffn=bool(args.use_pallas_ffn),
+        remat=bool(args.remat))
     data_cfg = DataConfig(
         fea_type=(list(fea_type) if fea_type else []),
         train_path=args.train_path,
@@ -168,11 +178,15 @@ def main(argv=None):
         vocab_cutoff=args.vocab_cutoff, length_bucket=args.length_bucket,
         feature_bucket=args.feature_bucket, prefetch=args.prefetch,
         feature_dtype=args.feature_transfer or args.dtype)
+    if args.accum_steps > 1 and not args.uniform_shapes:
+        raise SystemExit("--accum-steps > 1 requires --uniform-shapes 1 "
+                         "(accumulation groups stack equal-shape batches)")
     train_cfg = TrainConfig(
         num_epochs=args.num_epochs, batch_size=args.batch_size,
         warmup_steps=args.warmup_steps, loss_l=args.loss_l,
         rand_seed=args.rand_seed, report_interval=args.report_interval,
-        model=args.model, keep_checkpoints=args.keep_checkpoints)
+        model=args.model, keep_checkpoints=args.keep_checkpoints,
+        accum_steps=args.accum_steps)
 
     mesh, shardings = make_mesh_from_args(args, batch_size=args.batch_size)
     trainer = Trainer(model_cfg, train_cfg, mesh=mesh, shardings=shardings,
@@ -234,14 +248,21 @@ def main(argv=None):
                                data_cfg, train=True,
                                seed_key=(args.rand_seed, epoch),
                                start=start_b, transform=to_device)
+            accum = args.accum_steps
+            if accum > 1:
+                from mtn_tpu.train.batch import accumulated
+                it = accumulated(it, accum, to_device)
+            # with accumulation, run_epoch counts macro steps; logged
+            # step/batch indices stay in batch (micro) units so CSV rows
+            # and step-checkpoint resume points are accum-invariant
             state, train_loss = trainer.run_epoch(
                 state, it, base_rng, train=True,
-                report_fn=lambda step, loss, tps, s0=start_b: (
+                report_fn=lambda step, loss, tps, s0=start_b, a=accum: (
                     print("Epoch: %d Step: %d Loss: %f Tokens per Sec: %f"
-                          % (epoch + 1, s0 + step, loss, tps)),
-                    logs.train_step(epoch + 1, s0 + step, loss, tps)),
-                step_callback=(lambda st, j, e=epoch, s0=start_b:
-                               ckpt.save_step(st, e, s0 + j)),
+                          % (epoch + 1, s0 + step * a, loss, tps)),
+                    logs.train_step(epoch + 1, s0 + step * a, loss, tps)),
+                step_callback=(lambda st, j, e=epoch, s0=start_b, a=accum:
+                               ckpt.save_step(st, e, s0 + j * a)),
                 step_callback_every=args.checkpoint_every_steps)
             logging.info("epoch: %d  train loss: %f", epoch + 1, train_loss)
             logging.info("-------validation--------")

@@ -25,6 +25,10 @@ class ModelConfig:
     d_ff: int = 2048
     att_h: int = 8
     dropout: float = 0.1
+    # attention-probability dropout: the reference hard-codes 0.1
+    # regardless of --dropout (mtn.py:339 default arg, never overridden);
+    # kept as its own knob so it can be disabled independently
+    attn_dropout: float = 0.1
     ft_sizes: List[int] = field(default_factory=list)  # per-stream feature dims
     separate_his_embed: bool = False
     separate_cap_embed: bool = False
@@ -46,6 +50,12 @@ class ModelConfig:
     # for longer-sequence configs.
     use_pallas_attention: bool = False
     use_pallas_ffn: bool = False
+    # rematerialization: recompute each decoder layer's activations in
+    # the backward pass (jax.checkpoint via nn.remat) instead of storing
+    # them — trades ~1 extra forward of FLOPs for O(1-layer) activation
+    # memory; numerics identical (tests/test_accum.py). For configs that
+    # outgrow HBM (long sequences, big batches, larger d_model).
+    remat: bool = False
 
     @property
     def n_streams(self) -> int:
@@ -95,6 +105,11 @@ class TrainConfig:
     model: str = ""                # output prefix (checkpoints, CSV logs)
     save_optimizer_state: bool = True  # reference never saved it (train.py:217)
     keep_checkpoints: int = 0      # 0 = keep all (reference kept all epochs)
+    # >1: gradient accumulation — one optimizer update per accum_steps
+    # batches via lax.scan over stacked microbatches (Trainer accum step);
+    # the update equals the one-big-batch update exactly (macro-batch
+    # token-count normalizers), with one microbatch of activation memory
+    accum_steps: int = 1
 
 
 @dataclass

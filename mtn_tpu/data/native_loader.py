@@ -42,8 +42,12 @@ def _load() -> Optional[ctypes.CDLL]:
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
-            return None
+        if not os.path.exists(_LIB_PATH):
+            if not _build():
+                return None
+        else:
+            _build()  # refresh a stale .so if the source changed (no-op
+            # when up to date; failures fall through to the existing lib)
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
@@ -58,6 +62,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mtn_npy_shape.argtypes = [ctypes.c_char_p,
                                       ctypes.POINTER(ctypes.c_int64),
                                       ctypes.POINTER(ctypes.c_int64)]
+        try:
+            lib.mtn_npy_shape3.restype = ctypes.c_int
+            lib.mtn_npy_shape3.argtypes = [ctypes.c_char_p,
+                                           ctypes.POINTER(ctypes.c_int64),
+                                           ctypes.POINTER(ctypes.c_int32)]
+        except AttributeError:
+            return None  # stale pre-3-D library that make failed to refresh
         _lib = lib
         return _lib
 
@@ -66,24 +77,28 @@ def available() -> bool:
     return _load() is not None
 
 
-def npy_shape(path: str) -> Tuple[int, int]:
+def npy_shape(path: str) -> Tuple[int, ...]:
+    """Header-only shape: (T, D) for 2-D files, (T, R, D) for 3-D."""
     lib = _load()
-    rows = ctypes.c_int64()
-    cols = ctypes.c_int64()
-    rc = lib.mtn_npy_shape(path.encode(), ctypes.byref(rows),
-                           ctypes.byref(cols))
+    dims = (ctypes.c_int64 * 3)()
+    nd = ctypes.c_int32()
+    rc = lib.mtn_npy_shape3(path.encode(), dims, ctypes.byref(nd))
     if rc != 0:
-        raise IOError(f"mtn_npy_shape({path}) failed with code {rc}")
-    return int(rows.value), int(cols.value)
+        raise IOError(f"mtn_npy_shape3({path}) failed with code {rc}")
+    return tuple(int(dims[i]) for i in range(nd.value))
 
 
 def load_batch(paths: Sequence[str], max_frames: int, skip: int = 1,
                n_threads: int = 4) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (B, max_frames, D) float32 zero-padded array + (B,) lengths."""
+    """Returns (B, max_frames, D) float32 zero-padded array + (B,) lengths.
+
+    3-D (T, R, D) files follow the features.py flatten law: frame skip on
+    the time axis, then regions flatten into the frame axis.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("native loader unavailable")
-    _, dim = npy_shape(paths[0])
+    dim = npy_shape(paths[0])[-1]
     B = len(paths)
     out = np.zeros((B, max_frames, dim), dtype=np.float32)
     lens = np.zeros((B,), dtype=np.int32)

@@ -155,7 +155,8 @@ class DecoderLayer(nn.Module):
         pt = jnp.dtype(cfg.param_dtype)
         mha = lambda name: MultiHeadAttention(
             cfg.att_h, cfg.d_model, dtype=dt, param_dtype=pt,
-            use_pallas=cfg.use_pallas_attention, name=name)
+            use_pallas=cfg.use_pallas_attention,
+            attn_dropout=cfg.attn_dropout, name=name)
         ffn = lambda name: FeedForward(cfg.d_model, cfg.d_ff, cfg.dropout,
                                        dtype=dt, param_dtype=pt,
                                        use_pallas=cfg.use_pallas_ffn,
@@ -296,7 +297,14 @@ class Decoder(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.layers = [DecoderLayer(cfg, name=f"layer_{i}")
+        # nn.remat transforms __call__ only (the training path); the
+        # decode-time methods (precompute/step/self_qkv) are grad-free
+        # and stay untransformed. Scope/param names are unchanged, so
+        # remat on/off checkpoints are interchangeable.
+        # static_argnums counts self: 6 = the `deterministic` bool
+        layer_cls = (nn.remat(DecoderLayer, static_argnums=(6,))
+                     if cfg.remat else DecoderLayer)
+        self.layers = [layer_cls(cfg, name=f"layer_{i}")
                        for i in range(cfg.nb_blocks)]
         self.norm = RefLayerNorm(param_dtype=jnp.dtype(cfg.param_dtype))
         self.ae_norm = [RefLayerNorm(param_dtype=jnp.dtype(cfg.param_dtype),

@@ -99,6 +99,47 @@ def to_device_fn(feature_dtype: str = "float32", shardings=None):
     return lambda hb: shardings.put_batch(device_batch(hb, feature_dtype))
 
 
+def stack_batches(batches) -> DeviceBatch:
+    """Stack equal-shape microbatches on a new leading (A,) axis for the
+    Trainer's accumulating step (`lax.scan` over microbatches)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def blank_like(db: DeviceBatch, pad: int = 1) -> DeviceBatch:
+    """An all-padding microbatch shaped like ``db``: zero real tokens,
+    zero frames, every row invalid. Under the padded-rows loss
+    invariance it contributes zero loss and zero gradients — used to
+    fill the ragged tail of a gradient-accumulation group so one
+    compiled program serves every group."""
+    return DeviceBatch(
+        query=jnp.full_like(db.query, pad),
+        his=jnp.full_like(db.his, pad),
+        cap=jnp.full_like(db.cap, pad),
+        answer_in=jnp.full_like(db.answer_in, pad),
+        answer_out=jnp.full_like(db.answer_out, pad),
+        fts=tuple(jnp.zeros_like(f) for f in db.fts),
+        fts_len=tuple(jnp.zeros_like(l) for l in db.fts_len),
+        valid=jnp.zeros_like(db.valid))
+
+
+def accumulated(batches, accum_steps: int, to_device):
+    """Group a HostBatch stream into stacked accumulation macro-batches.
+
+    Yields DeviceBatch pytrees with a leading (accum_steps,) axis; the
+    final ragged group is completed with `blank_like` fillers. Requires
+    shape-uniform batches (train CLI enforces --uniform_shapes_train)."""
+    buf = []
+    for hb in batches:
+        buf.append(hb if isinstance(hb, DeviceBatch) else to_device(hb))
+        if len(buf) == accum_steps:
+            yield stack_batches(buf)
+            buf = []
+    if buf:
+        while len(buf) < accum_steps:
+            buf.append(blank_like(buf[0]))
+        yield stack_batches(buf)
+
+
 def batch_masks(b: DeviceBatch, pad: int) -> Tuple[SourceMasks, jnp.ndarray]:
     """Returns (source masks, target mask (B, La, La))."""
     masks = SourceMasks(

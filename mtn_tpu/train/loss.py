@@ -45,22 +45,30 @@ def label_smoothed_kl(logp: jnp.ndarray, targets: jnp.ndarray, pad: int,
 
 def mtn_loss(resp_logp: jnp.ndarray, answer_out: jnp.ndarray,
              ae_logps: Sequence[jnp.ndarray], ae_targets: jnp.ndarray,
-             pad: int, smoothing: float, loss_l: float
+             pad: int, smoothing: float, loss_l: float,
+             norm: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
              ) -> Tuple[jnp.ndarray, dict]:
     """Composite objective. Returns (normalized loss, metrics dict).
 
     metrics['loss_x_ntok'] is the reference run_epoch accumulator value
     (``loss.item()*ntokens``, data_utils.py:156) so epoch averages match.
+
+    ``norm``: optional externally supplied ``(ntokens, ae_ntokens)``
+    normalizers. Gradient accumulation passes the *macro-batch* totals
+    here so the sum of microbatch losses/grads equals the one-big-batch
+    loss/grad exactly (Trainer accumulating step).
     """
-    ntokens = jnp.sum(answer_out != pad).astype(jnp.float32)
-    ntokens = jnp.maximum(ntokens, 1.0)
-    loss = label_smoothed_kl(resp_logp, answer_out, pad, smoothing) / ntokens
-    if len(ae_logps) > 0:
+    if norm is None:
+        ntokens = jnp.sum(answer_out != pad).astype(jnp.float32)
+        ntokens = jnp.maximum(ntokens, 1.0)
         ae_ntokens = jnp.maximum(
             jnp.sum(ae_targets != pad).astype(jnp.float32), 1.0)
-        for ae_logp in ae_logps:
-            loss = loss + loss_l * label_smoothed_kl(
-                ae_logp, ae_targets, pad, smoothing) / ae_ntokens
+    else:
+        ntokens, ae_ntokens = norm
+    loss = label_smoothed_kl(resp_logp, answer_out, pad, smoothing) / ntokens
+    for ae_logp in ae_logps:
+        loss = loss + loss_l * label_smoothed_kl(
+            ae_logp, ae_targets, pad, smoothing) / ae_ntokens
     metrics = {
         "ntokens": ntokens,
         "loss": loss,

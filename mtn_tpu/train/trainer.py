@@ -47,6 +47,7 @@ class Trainer:
                                         train_cfg.warmup_steps)
         self._train_step = None
         self._eval_step = None
+        self._accum_step = None
 
     # -- initialization -----------------------------------------------------
     def init_state(self, rng: jax.Array, sample: DeviceBatch) -> TrainState:
@@ -63,7 +64,8 @@ class Trainer:
         return state
 
     # -- loss ---------------------------------------------------------------
-    def _loss_fn(self, params, batch: DeviceBatch, rng, deterministic: bool):
+    def _loss_fn(self, params, batch: DeviceBatch, rng, deterministic: bool,
+                 norm=None):
         masks, tgt_mask = batch_masks(batch, self.pad)
         rngs = {} if deterministic else {"dropout": rng}
         (x, ae_outs), _ = self.model.apply(
@@ -81,7 +83,7 @@ class Trainer:
         loss, metrics = mtn_loss(resp_logp, batch.answer_out, ae_logps,
                                  ae_targets, self.pad,
                                  self.train_cfg.label_smoothing,
-                                 self.train_cfg.loss_l)
+                                 self.train_cfg.loss_l, norm=norm)
         return loss, metrics
 
     # -- steps --------------------------------------------------------------
@@ -106,6 +108,65 @@ class Trainer:
                 return jax.jit(step_fn, donate_argnums=donate)
         return jax.jit(step_fn, donate_argnums=donate)
 
+    def _build_accum_step(self):
+        """Gradient accumulation: one optimizer update from A microbatches.
+
+        The input is a DeviceBatch whose leaves carry a leading (A,)
+        microbatch axis (train.batch.stack_batches). A `lax.scan` runs
+        the forward/backward per microbatch, summing grads — peak
+        activation memory is that of ONE microbatch. Losses/grads use
+        the *macro-batch* token counts as normalizers (mtn_loss `norm`),
+        so the update equals the one-big-batch update exactly (up to fp
+        reassociation); ragged tails are filled with `blank_like`
+        microbatches, which contribute zero tokens and zero grads
+        (padded-rows loss invariance, tests/test_model.py).
+        """
+        import operator
+
+        def step_fn(state: TrainState, stacked: DeviceBatch, base_rng):
+            rng = jax.random.fold_in(base_rng, state.step)
+            cfg = self.model_cfg
+            ae_t = (stacked.cap
+                    if cfg.auto_encoder_ft in ("caption", "summary")
+                    else stacked.query)
+            ntok = jnp.maximum(
+                jnp.sum(stacked.answer_out != self.pad).astype(jnp.float32),
+                1.0)
+            ae_ntok = jnp.maximum(
+                jnp.sum(ae_t != self.pad).astype(jnp.float32), 1.0)
+            norm = (ntok, ae_ntok)
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+
+            def body(carry, micro):
+                gacc, lacc, i = carry
+                if self.shardings is not None:
+                    micro = self.shardings.constrain_batch(micro)
+                (loss, _), grads = grad_fn(state.params, micro,
+                                           jax.random.fold_in(rng, i),
+                                           False, norm)
+                gacc = jax.tree.map(operator.add, gacc, grads)
+                return (gacc, lacc + loss, i + 1), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss, _), _ = jax.lax.scan(
+                body, (zeros, jnp.zeros((), jnp.float32),
+                       jnp.zeros((), jnp.int32)), stacked)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params)
+            params = jax.tree.map(lambda p, u: (p + u).astype(p.dtype),
+                                  state.params, updates)
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   step=state.step + 1)
+            metrics = {"ntokens": ntok, "loss": loss,
+                       "loss_x_ntok": loss * ntok}
+            return new_state, metrics
+
+        donate = (0,)
+        if self.mesh is not None:
+            with self.mesh:
+                return jax.jit(step_fn, donate_argnums=donate)
+        return jax.jit(step_fn, donate_argnums=donate)
+
     def _build_eval_step(self):
         def step_fn(params, batch: DeviceBatch):
             if self.shardings is not None:
@@ -122,6 +183,13 @@ class Trainer:
         if self._train_step is None:
             self._train_step = self._build_train_step()
         return self._train_step(state, batch, base_rng)
+
+    def train_step_accum(self, state: TrainState, stacked: DeviceBatch,
+                         base_rng) -> Tuple[TrainState, dict]:
+        """One update from microbatches stacked on a leading (A,) axis."""
+        if self._accum_step is None:
+            self._accum_step = self._build_accum_step()
+        return self._accum_step(state, stacked, base_rng)
 
     def eval_step(self, params, batch: DeviceBatch) -> dict:
         if self._eval_step is None:
@@ -164,7 +232,11 @@ class Trainer:
             batch = hb if isinstance(hb, DeviceBatch) \
                 else device_batch(hb, self.feature_dtype)
             if train:
-                state, metrics = self.train_step(state, batch, base_rng)
+                if batch.query.ndim == 3:  # stacked (A, B, Lq): accumulate
+                    state, metrics = self.train_step_accum(state, batch,
+                                                           base_rng)
+                else:
+                    state, metrics = self.train_step(state, batch, base_rng)
             else:
                 metrics = self.eval_step(state.params, batch)
             pending.append((j, metrics))

@@ -3,7 +3,8 @@
 // The reference reads features with np.load per video inside the training
 // hot loop (reference data_handler.py:233). This library replaces that
 // path: it parses .npy headers directly, reads row-strided (frame-skip)
-// float32/float64 2-D arrays with pread, pads into a caller-provided
+// float32/float64 2-D (T, D) and 3-D (T, R, D) arrays with pread
+// (regions flatten into the frame axis), pads into a caller-provided
 // contiguous (B, max_frames, dim) float32 buffer, and fans the per-file
 // work out over a thread pool so disk latency overlaps.
 //
@@ -35,8 +36,10 @@ constexpr int kErrShape = -5;
 constexpr int kErrRead = -6;
 
 struct NpyInfo {
-  int64_t rows = 0;
-  int64_t cols = 0;
+  int64_t rows = 0;      // frames (T)
+  int64_t regions = 1;   // regions per frame (R) for 3-D arrays, else 1
+  int64_t cols = 0;      // feature dim (D)
+  int ndims = 0;         // 2 or 3
   int64_t data_offset = 0;
   int item_size = 0;     // 4 (<f4) or 8 (<f8)
   bool fortran = false;
@@ -103,13 +106,26 @@ int ParseHeader(int fd, NpyInfo* info) {
     if (end == s) break;
     s = end;
   }
-  if (ndims != 2) return kErrShape;  // 2-D (frames, dim) features only
-  info->rows = vals[0];
-  info->cols = vals[1];
+  info->ndims = ndims;
+  if (ndims == 2) {  // (frames, dim)
+    info->rows = vals[0];
+    info->regions = 1;
+    info->cols = vals[1];
+  } else if (ndims == 3) {  // (frames, regions, dim)
+    info->rows = vals[0];
+    info->regions = vals[1];
+    info->cols = vals[2];
+  } else {
+    return kErrShape;
+  }
   return 0;
 }
 
 // Load one file into out[max_frames, dim] (zero-padded) with frame skip.
+// 3-D (T, R, D) arrays follow the mtn_tpu.data.features law: skip applies
+// to the time axis, then regions flatten into the frame axis — same rows,
+// bit-for-bit, as the numpy fallback's `a[::skip].reshape(-1, D)[:n]`
+// (including a partial frame when max_frames cuts mid-frame).
 int LoadOne(const char* path, int skip, int64_t max_frames, int64_t dim,
             float* out, int32_t* out_len) {
   int fd = open(path, O_RDONLY);
@@ -121,30 +137,41 @@ int LoadOne(const char* path, int skip, int64_t max_frames, int64_t dim,
     return rc;
   }
   if (skip < 1) skip = 1;
-  int64_t kept = (info.rows + skip - 1) / skip;
-  if (kept > max_frames) kept = max_frames;
+  int64_t kept_frames = (info.rows + skip - 1) / skip;
+  int64_t total_rows = kept_frames * info.regions;
+  if (total_rows > max_frames) total_rows = max_frames;
   int64_t cols = info.cols < dim ? info.cols : dim;
   memset(out, 0, sizeof(float) * max_frames * dim);
 
-  std::vector<unsigned char> rowbuf(info.item_size * info.cols);
-  for (int64_t r = 0; r < kept; ++r) {
-    int64_t src_row = r * skip;
+  std::vector<unsigned char> framebuf(
+      (size_t)info.item_size * info.regions * info.cols);
+  int64_t written = 0;
+  for (int64_t f = 0; written < total_rows; ++f) {
+    int64_t src_frame = f * skip;
+    int64_t rows_now = info.regions;
+    if (written + rows_now > total_rows) rows_now = total_rows - written;
     int64_t off = info.data_offset +
-                  src_row * info.cols * (int64_t)info.item_size;
-    ssize_t want = info.item_size * info.cols;
-    if (pread(fd, rowbuf.data(), want, off) != want) {
+                  src_frame * info.regions * info.cols *
+                      (int64_t)info.item_size;
+    ssize_t want = (ssize_t)(info.item_size * rows_now * info.cols);
+    if (pread(fd, framebuf.data(), want, off) != want) {
       close(fd);
       return kErrRead;
     }
-    float* dst = out + r * dim;
-    if (info.item_size == 4) {
-      memcpy(dst, rowbuf.data(), sizeof(float) * cols);
-    } else {
-      const double* src = reinterpret_cast<const double*>(rowbuf.data());
-      for (int64_t c = 0; c < cols; ++c) dst[c] = (float)src[c];
+    for (int64_t r = 0; r < rows_now; ++r) {
+      float* dst = out + (written + r) * dim;
+      const unsigned char* src =
+          framebuf.data() + (size_t)r * info.cols * info.item_size;
+      if (info.item_size == 4) {
+        memcpy(dst, src, sizeof(float) * cols);
+      } else {
+        const double* sd = reinterpret_cast<const double*>(src);
+        for (int64_t c = 0; c < cols; ++c) dst[c] = (float)sd[c];
+      }
     }
+    written += rows_now;
   }
-  *out_len = (int32_t)kept;
+  *out_len = (int32_t)written;
   close(fd);
   return 0;
 }
@@ -185,6 +212,8 @@ int mtn_load_npy_batch(const char** paths, int n_files, int skip,
 
 // Header-only shape probe (parity with reference get_npy_shape,
 // data_handler.py:16-24): returns 0 and fills rows/cols, or error code.
+// 2-D arrays only (historical ABI); use mtn_npy_shape3 for the general
+// form.
 int mtn_npy_shape(const char* path, int64_t* rows, int64_t* cols) {
   int fd = open(path, O_RDONLY);
   if (fd < 0) return kErrOpen;
@@ -192,8 +221,29 @@ int mtn_npy_shape(const char* path, int64_t* rows, int64_t* cols) {
   int rc = ParseHeader(fd, &info);
   close(fd);
   if (rc != 0) return rc;
+  if (info.ndims != 2) return kErrShape;
   *rows = info.rows;
   *cols = info.cols;
+  return 0;
+}
+
+// General header probe: fills dims[0..ndims) and *ndims (2 or 3).
+int mtn_npy_shape3(const char* path, int64_t* dims, int32_t* ndims) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return kErrOpen;
+  NpyInfo info;
+  int rc = ParseHeader(fd, &info);
+  close(fd);
+  if (rc != 0) return rc;
+  *ndims = info.ndims;
+  if (info.ndims == 2) {
+    dims[0] = info.rows;
+    dims[1] = info.cols;
+  } else {
+    dims[0] = info.rows;
+    dims[1] = info.regions;
+    dims[2] = info.cols;
+  }
   return 0;
 }
 

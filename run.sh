@@ -65,6 +65,10 @@ use_pallas_attention=0  # opt-in: slower at flagship shapes (docs/BENCH.md)
 use_pallas_ffn=0        # opt-in: e2e-neutral at flagship shapes (BENCH.md)
 feature_transfer=""     # ''|bfloat16|int8: host->device feature precision
 uniform_shapes_train=0  # 1: single compiled train step (pad to maxima)
+accum_steps=1           # >1: gradient accumulation (one optimizer update
+                        # per N batches; requires uniform_shapes_train=1)
+remat=0                 # 1: rematerialize decoder layers in backward
+                        # (activation memory ~ one layer; extra FLOPs)
 uniform_shapes_decode=1 # 1: single compiled beam program (pad to maxima)
 early_stop=1            # beam loop exits once n-bests provably fixed
                         # (output-identical, 1.32x measured; 0 = full scan)
@@ -156,7 +160,9 @@ if [ $stage -le 2 ]; then
       --use-pallas-attention ${use_pallas_attention} \
       --use-pallas-ffn ${use_pallas_ffn} \
       --feature-transfer "${feature_transfer}" \
-      --uniform-shapes ${uniform_shapes_train}
+      --uniform-shapes ${uniform_shapes_train} \
+      --accum-steps ${accum_steps} \
+      --remat ${remat}
 fi
 
 # testing phase

@@ -111,6 +111,57 @@ def test_native_loader_matches_numpy(tiny_corpus):
     assert nl.npy_shape(paths[0]) == tuple(get_npy_shape(paths[0]))
 
 
+def test_native_loader_3d_matches_numpy(tmp_path):
+    """3-D (T, R, D) streams take the native path under the same flatten
+    law as the numpy fallback (skip on the time axis, regions flatten
+    into frames, cap may cut mid-frame) — outputs must be bitwise equal.
+    """
+    from mtn_tpu.data import native_loader as nl
+    if not nl.available():
+        pytest.skip("native loader not built")
+    rng = np.random.default_rng(3)
+    shapes = [(5, 4, 6), (7, 4, 6), (1, 4, 6), (6, 4, 6)]
+    dtypes = [np.float32, np.float64, np.float32, np.float64]
+    paths = []
+    for i, (shape, dt) in enumerate(zip(shapes, dtypes)):
+        p = tmp_path / f"v{i}.npy"
+        np.save(p, rng.standard_normal(shape).astype(dt))
+        paths.append(str(p))
+
+    def numpy_law(p, max_frames, skip):
+        a = np.load(p)[::skip].reshape(-1, np.load(p).shape[-1])
+        n = min(a.shape[0], max_frames)
+        out = np.zeros((max_frames, a.shape[-1]), np.float32)
+        out[:n] = a[:n]
+        return out, n
+
+    for skip in (1, 2, 3):
+        # max_frames=14 is not a multiple of R=4: cuts mid-frame
+        out, lens = nl.load_batch(paths, max_frames=14, skip=skip)
+        for i, p in enumerate(paths):
+            want, n = numpy_law(p, 14, skip)
+            assert lens[i] == n
+            np.testing.assert_array_equal(out[i], want)
+    # header probe reports the full 3-D shape
+    assert nl.npy_shape(paths[0]) == shapes[0]
+    # end-to-end: load_features native path == python path on 3-D files
+    from mtn_tpu.data.features import FeatureRegistry, load_features
+
+    class _Reg(FeatureRegistry):
+        def __init__(self):
+            self.fea_types = ["r3d"]
+            self.streams = [{f"v{i}": (paths[i], shapes[i][0] * shapes[i][1])
+                             for i in range(len(paths))}]
+            self._has_3d = [True]
+
+    reg = _Reg()
+    vids = [f"v{i}" for i in range(len(paths))]
+    nat = load_features(reg, vids, [14], [2], use_native=True)
+    py = load_features(reg, vids, [14], [2], use_native=False)
+    np.testing.assert_array_equal(nat[0][0], py[0][0])
+    np.testing.assert_array_equal(nat[1][0], py[1][0])
+
+
 def test_native_vs_python_feature_path(ds, tiny_corpus):
     from mtn_tpu.data import native_loader as nl
     if not nl.available():
