@@ -143,7 +143,53 @@ class ServingSession:
             [Request("")], model_cfg, data_cfg, vocab))
         state = trainer.init_state(jax.random.PRNGKey(0), sample)
         params, _ = ckpt.restore_params(state, epoch)
-        return cls(params, model_cfg, data_cfg, vocab, decode_cfg, mesh=mesh)
+        session = cls(params, model_cfg, data_cfg, vocab, decode_cfg,
+                      mesh=mesh)
+        session.model_arg = model_arg
+        return session
+
+    def reload(self, model_arg: Optional[str] = None) -> object:
+        """Hot-swap the served parameters from a checkpoint.
+
+        Same-architecture only: the new tree must match the current one
+        in structure and shapes (it then reuses every compiled program —
+        no recompile, no downtime). The swap is a single atomic
+        attribute assignment, so launches already in flight finish on
+        the old weights and subsequent launches use the new ones.
+        Returns the restored epoch. Raises ValueError on a tree
+        mismatch (an architecture change needs a fresh session).
+        """
+        import jax
+        from mtn_tpu.cli.generate import _split_model_arg
+        from mtn_tpu.utils.checkpoint import CheckpointManager
+
+        arg = model_arg or getattr(self, "model_arg", None)
+        if not arg:
+            raise ValueError("no checkpoint path: session was not built "
+                             "via from_checkpoint and model_arg is None")
+        prefix, epoch = _split_model_arg(arg)
+        ckpt = CheckpointManager(prefix)
+        from mtn_tpu.config import TrainConfig
+        from mtn_tpu.train.trainer import Trainer
+        trainer = Trainer(self.model_cfg, TrainConfig())
+        sample = device_batch(encode_requests(
+            [Request("")], self.model_cfg, self.data_cfg, self.vocab))
+        state = trainer.init_state(jax.random.PRNGKey(0), sample)
+        new_params, used_epoch = ckpt.restore_params(state, epoch)
+        old = jax.tree_util.tree_structure(self.params)
+        new = jax.tree_util.tree_structure(new_params)
+        if old != new:
+            raise ValueError(f"checkpoint tree mismatch: {arg} does not "
+                             "match the served architecture")
+        for a, b in zip(jax.tree_util.tree_leaves(self.params),
+                        jax.tree_util.tree_leaves(new_params)):
+            if a.shape != b.shape:
+                raise ValueError(
+                    f"checkpoint shape mismatch ({a.shape} vs {b.shape}): "
+                    f"{arg} does not match the served architecture")
+        self.params = new_params  # atomic swap
+        self.model_arg = arg
+        return used_epoch
 
     def respond_batch(self, requests: Sequence[Request]
                       ) -> List[Tuple[str, float]]:

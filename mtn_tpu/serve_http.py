@@ -20,6 +20,11 @@ API (all JSON)::
     GET  /healthz       ->  {"ok": true}
     GET  /stats         ->  {"requests", "errors", "launches",
                              "uptime_s", "decode_style", "turn_batch"}
+    POST /admin/reload      {"model": "<prefix_best>"}   # optional body
+                        ->  {"ok": true, "epoch": N}
+                            hot-swaps the served weights from a
+                            checkpoint (same architecture; reuses every
+                            compiled program — zero downtime)
 
 A feature ``value`` is either a nested list (2-D ``(T, D)`` or 3-D
 ``(T, R, D)``, converted to float32) or ``{"npy_b64": "..."}`` — the
@@ -221,6 +226,20 @@ class _Handler(BaseHTTPRequestHandler):
                 answer, score = srv.respond_one(req)
                 srv.count()
                 self._send(200, {"answer": answer, "score": float(score)})
+            elif self.path == "/admin/reload":
+                n = int(self.headers.get("Content-Length") or 0)
+                body = json.loads(self.rfile.read(n)) if n > 0 else {}
+                if not isinstance(body, dict):
+                    raise BadRequest("body must be a JSON object")
+                model = body.get("model")
+                if model is not None and not isinstance(model, str):
+                    raise BadRequest("'model' must be a string")
+                try:
+                    epoch = srv.session.reload(model)
+                except (ValueError, FileNotFoundError) as e:
+                    raise BadRequest(str(e))
+                srv.count()
+                self._send(200, {"ok": True, "epoch": epoch})
             elif self.path == "/v1/respond_batch":
                 body = self._read_json()
                 raw = body.get("requests") if isinstance(body, dict) else None

@@ -226,3 +226,21 @@ def test_parse_request_validation():
                                     "y": [[[1], [2]], [[3], [4]]]}})
     assert r.features["x"].shape == (2, 2)
     assert r.features["y"].shape == (2, 2, 1)  # 3-D spatial accepted
+
+
+def test_admin_reload_endpoint(http_server):
+    srv, base, feats = http_server
+    status, out = _post(base + "/admin/reload", {})
+    assert status == 200 and out["ok"] is True
+    # the server keeps answering after the swap
+    status, out = _post(base + "/v1/respond",
+                        {"question": "is there any sound ?"})
+    assert status == 200 and isinstance(out["answer"], str)
+    # unknown checkpoint -> client error, server stays up
+    try:
+        _post(base + "/admin/reload", {"model": "/no/such/prefix_best"})
+        assert False, "expected HTTP error"
+    except urllib.error.HTTPError as e:
+        assert e.code in (400, 500)
+    status, _ = _get(base + "/healthz")
+    assert status == 200
