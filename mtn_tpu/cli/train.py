@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--d-ff", default=2048, type=int)
     parser.add_argument("--att-h", default=8, type=int)
     parser.add_argument("--dropout", default=0.1, type=float)
+    parser.add_argument("--attn-dropout", default=0.1, type=float,
+                        help="attention-probability dropout; the "
+                             "reference hard-codes 0.1 regardless of "
+                             "--dropout (mtn.py:339)")
     parser.add_argument("--separate-his-embed", default=0, type=int)
     parser.add_argument("--separate-cap-embed", default=0, type=int)
     parser.add_argument("--diff-encoder", default=0, type=int)
@@ -165,7 +169,7 @@ def main(argv=None):
         auto_encoder_ft=args.auto_encoder_ft, dtype=args.dtype,
         use_pallas_attention=bool(args.use_pallas_attention),
         use_pallas_ffn=bool(args.use_pallas_ffn),
-        remat=bool(args.remat))
+        remat=bool(args.remat), attn_dropout=args.attn_dropout)
     data_cfg = DataConfig(
         fea_type=(list(fea_type) if fea_type else []),
         train_path=args.train_path,
@@ -181,10 +185,20 @@ def main(argv=None):
     if args.accum_steps > 1 and not args.uniform_shapes:
         raise SystemExit("--accum-steps > 1 requires --uniform-shapes 1 "
                          "(accumulation groups stack equal-shape batches)")
+    if args.accum_steps > 1 and jax.process_count() > 1:
+        raise SystemExit("--accum-steps is not supported with --multihost "
+                         "yet: microbatch stacking runs eager ops on "
+                         "global arrays that span non-addressable devices")
+    # run_epoch counts macro steps under accumulation: divide the batch-
+    # unit cadences by accum so reports/step-checkpoints keep firing at
+    # (approximately) the same batch intervals
+    report_every = max(1, args.report_interval // args.accum_steps)
+    ckpt_every = (max(1, args.checkpoint_every_steps // args.accum_steps)
+                  if args.checkpoint_every_steps > 0 else 0)
     train_cfg = TrainConfig(
         num_epochs=args.num_epochs, batch_size=args.batch_size,
         warmup_steps=args.warmup_steps, loss_l=args.loss_l,
-        rand_seed=args.rand_seed, report_interval=args.report_interval,
+        rand_seed=args.rand_seed, report_interval=report_every,
         model=args.model, keep_checkpoints=args.keep_checkpoints,
         accum_steps=args.accum_steps)
 
@@ -251,10 +265,11 @@ def main(argv=None):
             accum = args.accum_steps
             if accum > 1:
                 from mtn_tpu.train.batch import accumulated
-                it = accumulated(it, accum, to_device)
+                it = accumulated(it, accum, to_device, pad=trainer.pad)
             # with accumulation, run_epoch counts macro steps; logged
-            # step/batch indices stay in batch (micro) units so CSV rows
-            # and step-checkpoint resume points are accum-invariant
+            # step/batch indices stay in batch (micro) units, and the
+            # report/checkpoint cadences are divided by accum so they
+            # keep firing at (approximately) the same batch intervals
             state, train_loss = trainer.run_epoch(
                 state, it, base_rng, train=True,
                 report_fn=lambda step, loss, tps, s0=start_b, a=accum: (
@@ -263,7 +278,7 @@ def main(argv=None):
                     logs.train_step(epoch + 1, s0 + step * a, loss, tps)),
                 step_callback=(lambda st, j, e=epoch, s0=start_b, a=accum:
                                ckpt.save_step(st, e, s0 + j * a)),
-                step_callback_every=args.checkpoint_every_steps)
+                step_callback_every=ckpt_every)
             logging.info("epoch: %d  train loss: %f", epoch + 1, train_loss)
             logging.info("-------validation--------")
             vit = BatchIterator(valid_data, valid_plans, data_cfg,

@@ -143,12 +143,17 @@ def load_features(registry: FeatureRegistry, vids: Sequence[str],
     for i in range(len(registry)):
         paths = [registry.path(i, vid) for vid in vids]
         s = skip[i] if i < len(skip) else 1
+        arr = ln = None
         if native is not None and all(p.endswith(".npy") for p in paths):
             # the C++ loader implements the same 3-D flatten law (see
             # native/npy_loader.cc LoadOne), so 2-D and 3-D streams both
-            # take the native path
-            arr, ln = native.load_batch(paths, int(max_frames[i]), s)
-        else:
+            # take the native path; dtypes/layouts it cannot parse
+            # (f16/int/fortran-order) fall back to numpy below
+            try:
+                arr, ln = native.load_batch(paths, int(max_frames[i]), s)
+            except (IOError, OSError):
+                arr = ln = None
+        if arr is None:
             # frame skip applies to the time axis; 3-D (T, R, D) arrays
             # then flatten regions into frames (FeatureRegistry note)
             def _read(p):

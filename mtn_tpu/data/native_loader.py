@@ -42,16 +42,28 @@ def _load() -> Optional[ctypes.CDLL]:
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
-            if not _build():
-                return None
-        else:
-            _build()  # refresh a stale .so if the source changed (no-op
-            # when up to date; failures fall through to the existing lib)
+        src = os.path.join(_NATIVE_DIR, "npy_loader.cc")
+        stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+        if (not os.path.exists(_LIB_PATH) or stale) and not _build():
+            if not os.path.exists(_LIB_PATH):
+                return None  # else: fall through to the existing lib
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
             return None
+        if not hasattr(lib, "mtn_npy_shape3"):
+            # stale pre-3-D library on disk: rebuild once and reload
+            # (the Makefile renames atomically, so concurrent readers
+            # never see a partial file)
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
+            if not hasattr(lib, "mtn_npy_shape3"):
+                return None
         lib.mtn_load_npy_batch.restype = ctypes.c_int
         lib.mtn_load_npy_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
@@ -62,13 +74,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mtn_npy_shape.argtypes = [ctypes.c_char_p,
                                       ctypes.POINTER(ctypes.c_int64),
                                       ctypes.POINTER(ctypes.c_int64)]
-        try:
-            lib.mtn_npy_shape3.restype = ctypes.c_int
-            lib.mtn_npy_shape3.argtypes = [ctypes.c_char_p,
-                                           ctypes.POINTER(ctypes.c_int64),
-                                           ctypes.POINTER(ctypes.c_int32)]
-        except AttributeError:
-            return None  # stale pre-3-D library that make failed to refresh
+        lib.mtn_npy_shape3.restype = ctypes.c_int
+        lib.mtn_npy_shape3.argtypes = [ctypes.c_char_p,
+                                       ctypes.POINTER(ctypes.c_int64),
+                                       ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
         return _lib
 

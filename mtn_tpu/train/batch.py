@@ -122,12 +122,14 @@ def blank_like(db: DeviceBatch, pad: int = 1) -> DeviceBatch:
         valid=jnp.zeros_like(db.valid))
 
 
-def accumulated(batches, accum_steps: int, to_device):
+def accumulated(batches, accum_steps: int, to_device, pad: int = 1):
     """Group a HostBatch stream into stacked accumulation macro-batches.
 
     Yields DeviceBatch pytrees with a leading (accum_steps,) axis; the
-    final ragged group is completed with `blank_like` fillers. Requires
-    shape-uniform batches (train CLI enforces --uniform_shapes_train)."""
+    final ragged group is completed with `blank_like(pad=pad)` fillers
+    (``pad`` must be the trainer's pad id so fillers stay token-free).
+    Requires shape-uniform batches (train CLI enforces
+    --uniform_shapes_train)."""
     buf = []
     for hb in batches:
         buf.append(hb if isinstance(hb, DeviceBatch) else to_device(hb))
@@ -136,7 +138,7 @@ def accumulated(batches, accum_steps: int, to_device):
             buf = []
     if buf:
         while len(buf) < accum_steps:
-            buf.append(blank_like(buf[0]))
+            buf.append(blank_like(buf[0], pad=pad))
         yield stack_batches(buf)
 
 

@@ -303,6 +303,57 @@ def test_cli_step_checkpointing(tiny_corpus, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_cli_accum_cadence_and_attn_dropout(tiny_corpus, tmp_path):
+    """--accum-steps at the CLI surface: report/step-checkpoint cadences
+    stay in batch units (divided macro cadence x accum multiplier), the
+    run completes, and --attn-dropout lands in the config sidecar."""
+    prefix = str(tmp_path / "mtn_accum")
+    from mtn_tpu.cli.train import main as train_main
+    common = [
+        "--fea-type", *tiny_corpus.fea_types,
+        "--train-path", tiny_corpus.fea_path,
+        "--train-set", tiny_corpus.train_set,
+        "--valid-path", tiny_corpus.fea_path,
+        "--valid-set", tiny_corpus.valid_set,
+        "--include-caption", "caption,summary", "--separate-caption", "1",
+        "--batch-size", "2", "--max-length", "64",
+        "--model", prefix, "--nb-blocks", "1", "--d-model", "16",
+        "--d-ff", "32", "--att-h", "2", "--warmup-steps", "20",
+        "--diff-encoder", "1", "--auto-encoder-ft", "query",
+        "--vocab-cutoff", "0", "--dtype", "float32",
+        "--uniform-shapes", "1", "--accum-steps", "2",
+        "--attn-dropout", "0.0",
+        "--report-interval", "2", "--checkpoint-every-steps", "2",
+    ]
+    rc = train_main(common + ["--num-epochs", "1"])
+    assert rc == 0
+    conf = json.load(open(prefix + ".conf.json"))
+    assert conf["model"]["attn_dropout"] == 0.0
+    assert conf["train"]["accum_steps"] == 2
+    # logged steps are batch (micro) units: multiples of accum
+    rows = open(prefix + "_train.csv").read().splitlines()[1:]
+    steps = [int(r.split(",")[1]) for r in rows]
+    assert steps and all(s % 2 == 0 for s in steps)
+    meta = json.load(open(os.path.join(prefix + "_ckpt", "meta.json")))
+    assert meta["step_batch"] % 2 == 0
+    # and a step-resume continues to completion under accumulation
+    rc = train_main(common + ["--num-epochs", "1", "--resume", "step"])
+    assert rc == 0
+    # accum with ragged shapes must be rejected with the clear message
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        train_main([
+            "--fea-type", *tiny_corpus.fea_types,
+            "--train-path", tiny_corpus.fea_path,
+            "--train-set", tiny_corpus.train_set,
+            "--valid-path", tiny_corpus.fea_path,
+            "--valid-set", tiny_corpus.valid_set,
+            "--model", str(tmp_path / "mtn_bad"),
+            "--accum-steps", "2", "--uniform-shapes", "0",
+            "--vocab-cutoff", "0", "--num-epochs", "1",
+        ])
+
+
 def test_run_sh_stage4_falls_back_to_shipped_eval_spelling(tmp_path):
     """The real DSTC7 download ships "lbl_undiscloseonly_..." (note
     spelling) while run.sh variables say "lbl_undisclosedonly_...";
