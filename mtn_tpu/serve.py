@@ -107,6 +107,20 @@ def encode_requests(requests: Sequence[Request], model_cfg, data_cfg, vocab,
                      valid=(np.arange(B) < n))
 
 
+def _restore_params(ckpt, epoch, model_cfg, data_cfg, vocab):
+    """Restore checkpoint params into an abstract state built from
+    ``model_cfg`` (shared by from_checkpoint and reload)."""
+    import jax
+    from mtn_tpu.config import TrainConfig
+    from mtn_tpu.train.trainer import Trainer
+
+    trainer = Trainer(model_cfg, TrainConfig())
+    sample = device_batch(encode_requests(
+        [Request("")], model_cfg, data_cfg, vocab))
+    state = trainer.init_state(jax.random.PRNGKey(0), sample)
+    return ckpt.restore_params(state, epoch)
+
+
 class ServingSession:
     """Single-model interactive decoder (thread-unsafe; one per worker)."""
 
@@ -127,10 +141,7 @@ class ServingSession:
     def from_checkpoint(cls, model_arg: str,
                         decode_cfg: Optional[DecodeConfig] = None,
                         mesh=None) -> "ServingSession":
-        import jax
         from mtn_tpu.cli.generate import _split_model_arg
-        from mtn_tpu.config import TrainConfig
-        from mtn_tpu.train.trainer import Trainer
         from mtn_tpu.utils.checkpoint import CheckpointManager
 
         prefix, epoch = _split_model_arg(model_arg)
@@ -138,11 +149,7 @@ class ServingSession:
         vocab, conf = ckpt.load_conf()
         model_cfg = config_from_dict("model", conf["model"])
         data_cfg = config_from_dict("data", conf["data"])
-        trainer = Trainer(model_cfg, TrainConfig())
-        sample = device_batch(encode_requests(
-            [Request("")], model_cfg, data_cfg, vocab))
-        state = trainer.init_state(jax.random.PRNGKey(0), sample)
-        params, _ = ckpt.restore_params(state, epoch)
+        params, _ = _restore_params(ckpt, epoch, model_cfg, data_cfg, vocab)
         session = cls(params, model_cfg, data_cfg, vocab, decode_cfg,
                       mesh=mesh)
         session.model_arg = model_arg
@@ -151,15 +158,15 @@ class ServingSession:
     def reload(self, model_arg: Optional[str] = None) -> object:
         """Hot-swap the served parameters from a checkpoint.
 
-        Same-architecture only: the new tree must match the current one
-        in structure and shapes (it then reuses every compiled program —
-        no recompile, no downtime). The swap is a single atomic
-        attribute assignment, so launches already in flight finish on
-        the old weights and subsequent launches use the new ones.
-        Returns the restored epoch. Raises ValueError on a tree
-        mismatch (an architecture change needs a fresh session).
+        Same-architecture only: the restore target is built from THIS
+        session's model config, so the new tree always matches and every
+        compiled program is reused (no recompile, no downtime); a
+        checkpoint from a different architecture fails the restore and
+        is surfaced as ValueError. The swap is a single atomic attribute
+        assignment, so launches already in flight finish on the old
+        weights and subsequent launches use the new ones. Returns the
+        restored epoch.
         """
-        import jax
         from mtn_tpu.cli.generate import _split_model_arg
         from mtn_tpu.utils.checkpoint import CheckpointManager
 
@@ -168,25 +175,16 @@ class ServingSession:
             raise ValueError("no checkpoint path: session was not built "
                              "via from_checkpoint and model_arg is None")
         prefix, epoch = _split_model_arg(arg)
-        ckpt = CheckpointManager(prefix)
-        from mtn_tpu.config import TrainConfig
-        from mtn_tpu.train.trainer import Trainer
-        trainer = Trainer(self.model_cfg, TrainConfig())
-        sample = device_batch(encode_requests(
-            [Request("")], self.model_cfg, self.data_cfg, self.vocab))
-        state = trainer.init_state(jax.random.PRNGKey(0), sample)
-        new_params, used_epoch = ckpt.restore_params(state, epoch)
-        old = jax.tree_util.tree_structure(self.params)
-        new = jax.tree_util.tree_structure(new_params)
-        if old != new:
-            raise ValueError(f"checkpoint tree mismatch: {arg} does not "
-                             "match the served architecture")
-        for a, b in zip(jax.tree_util.tree_leaves(self.params),
-                        jax.tree_util.tree_leaves(new_params)):
-            if a.shape != b.shape:
-                raise ValueError(
-                    f"checkpoint shape mismatch ({a.shape} vs {b.shape}): "
-                    f"{arg} does not match the served architecture")
+        try:
+            new_params, used_epoch = _restore_params(
+                CheckpointManager(prefix), epoch, self.model_cfg,
+                self.data_cfg, self.vocab)
+        except (ValueError, FileNotFoundError):
+            raise
+        except Exception as e:  # orbax structure/shape/read failures
+            raise ValueError(
+                f"cannot restore {arg} into the served architecture: "
+                f"{type(e).__name__}: {e}")
         self.params = new_params  # atomic swap
         self.model_arg = arg
         return used_epoch

@@ -19,12 +19,18 @@ API (all JSON)::
                         ->  {"results": [{"answer", "score"}, ...]}
     GET  /healthz       ->  {"ok": true}
     GET  /stats         ->  {"requests", "errors", "launches",
-                             "uptime_s", "decode_style", "turn_batch"}
+                             "uptime_s", "decode_style", "turn_batch",
+                             "latency": {count, mean_ms, p50_ms, p90_ms}}
+    GET  /metrics       ->  Prometheus text exposition (request/error/
+                            launch/reload counters + request-latency
+                            histogram + uptime) for scraping
     POST /admin/reload      {"model": "<prefix_best>"}   # optional body
                         ->  {"ok": true, "epoch": N}
                             hot-swaps the served weights from a
                             checkpoint (same architecture; reuses every
-                            compiled program — zero downtime)
+                            compiled program — zero downtime). Admin
+                            routes require ``--admin-token`` as a bearer
+                            token, or default to loopback-only.
 
 A feature ``value`` is either a nested list (2-D ``(T, D)`` or 3-D
 ``(T, R, D)``, converted to float32) or ``{"npy_b64": "..."}`` — the
@@ -113,6 +119,62 @@ def parse_request(obj) -> Request:
                    features=_parse_features(obj.get("features")))
 
 
+class LatencyHistogram:
+    """Lock-protected fixed-bucket latency histogram (seconds).
+
+    Buckets follow the Prometheus convention: ``counts[i]`` is the
+    number of observations ≤ ``BOUNDS[i]`` (cumulative at export time);
+    quantiles are linearly interpolated within the winning bucket."""
+
+    BOUNDS = (0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0,
+              10.0)
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._counts = [0] * (len(self.BOUNDS) + 1)  # +1 = +Inf bucket
+        self._sum = 0.0
+        self._count = 0
+
+    def observe(self, seconds: float):
+        i = 0
+        while i < len(self.BOUNDS) and seconds > self.BOUNDS[i]:
+            i += 1
+        with self._lock:
+            self._counts[i] += 1
+            self._sum += seconds
+            self._count += 1
+
+    def snapshot(self):
+        with self._lock:
+            return list(self._counts), self._sum, self._count
+
+    def quantile(self, q: float) -> float:
+        """Approximate quantile (seconds) by bucket interpolation."""
+        counts, _, total = self.snapshot()
+        if total == 0:
+            return 0.0
+        target = q * total
+        seen = 0
+        lo = 0.0
+        for i, c in enumerate(counts):
+            hi = self.BOUNDS[i] if i < len(self.BOUNDS) else lo * 2 or 1.0
+            if seen + c >= target:
+                frac = (target - seen) / c if c else 0.0
+                return lo + frac * (hi - lo)
+            seen += c
+            lo = hi
+        return lo
+
+    def summary(self) -> dict:
+        _, s, n = self.snapshot()
+        return {
+            "count": n,
+            "mean_ms": round(1e3 * s / n, 3) if n else 0.0,
+            "p50_ms": round(1e3 * self.quantile(0.5), 3),
+            "p90_ms": round(1e3 * self.quantile(0.9), 3),
+        }
+
+
 class MTNServer(ThreadingHTTPServer):
     """ThreadingHTTPServer + the shared serving state.
 
@@ -127,9 +189,12 @@ class MTNServer(ThreadingHTTPServer):
     request_queue_size = 128
 
     def __init__(self, addr, session: ServingSession,
-                 max_in_flight: int = 2, max_wait_ms: float = 5.0):
+                 max_in_flight: int = 2, max_wait_ms: float = 5.0,
+                 admin_token: Optional[str] = None):
         super().__init__(addr, _Handler)
         self.session = session
+        # /admin/* auth: bearer token if set, else loopback-only
+        self.admin_token = admin_token
         self.async_server: Optional[AsyncServer] = None
         if session.decode_cfg.decode_style == "beam_search":
             self.async_server = AsyncServer(
@@ -139,7 +204,9 @@ class MTNServer(ThreadingHTTPServer):
         self._t0 = time.time()
         self.n_requests = 0
         self.n_errors = 0
+        self.n_reloads = 0
         self._count_lock = threading.Lock()
+        self.latency = LatencyHistogram()
 
     # -- serving ------------------------------------------------------------
     def respond_one(self, req: Request) -> Tuple[str, float]:
@@ -167,7 +234,48 @@ class MTNServer(ThreadingHTTPServer):
             "uptime_s": round(time.time() - self._t0, 3),
             "decode_style": self.session.decode_cfg.decode_style,
             "turn_batch": self.session.decode_cfg.turn_batch,
+            "latency": self.latency.summary(),
         }
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition (version 0.0.4) of the serving
+        counters — the standard scrape format, so a deployment plugs
+        into an existing monitoring stack with no adapter."""
+        with self._count_lock:
+            n, e, r = self.n_requests, self.n_errors, self.n_reloads
+        counts, lat_sum, lat_count = self.latency.snapshot()
+        lines = [
+            "# HELP mtn_requests_total Completed API requests.",
+            "# TYPE mtn_requests_total counter",
+            f"mtn_requests_total {n}",
+            "# HELP mtn_errors_total Requests that returned 4xx/5xx.",
+            "# TYPE mtn_errors_total counter",
+            f"mtn_errors_total {e}",
+            "# HELP mtn_reloads_total Successful /admin/reload swaps.",
+            "# TYPE mtn_reloads_total counter",
+            f"mtn_reloads_total {r}",
+            "# HELP mtn_launches_total Compiled-program batch launches.",
+            "# TYPE mtn_launches_total counter",
+            "mtn_launches_total %d" % (self.async_server.launches
+                                       if self.async_server else 0),
+            "# HELP mtn_uptime_seconds Seconds since server start.",
+            "# TYPE mtn_uptime_seconds gauge",
+            f"mtn_uptime_seconds {time.time() - self._t0:.3f}",
+            "# HELP mtn_request_latency_seconds End-to-end request "
+            "latency (decode requests only).",
+            "# TYPE mtn_request_latency_seconds histogram",
+        ]
+        cum = 0
+        for i, c in enumerate(counts):
+            cum += c
+            le = (repr(LatencyHistogram.BOUNDS[i])
+                  if i < len(LatencyHistogram.BOUNDS) else "+Inf")
+            lines.append(
+                'mtn_request_latency_seconds_bucket{le="%s"} %d'
+                % (le, cum))
+        lines.append(f"mtn_request_latency_seconds_sum {lat_sum:.6f}")
+        lines.append(f"mtn_request_latency_seconds_count {lat_count}")
+        return "\n".join(lines) + "\n"
 
     def count(self, error: bool = False):
         with self._count_lock:
@@ -196,9 +304,32 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _send_text(self, code: int, body: str,
+                   ctype: str = "text/plain; version=0.0.4"):
+        data = body.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
     def log_message(self, fmt, *args):  # route to logging, not stderr
         import logging
         logging.getLogger("mtn_tpu.serve_http").debug(fmt, *args)
+
+    def _check_admin(self):
+        """Gate /admin/* routes: require the configured bearer token, or
+        (when no token is set) a loopback client — /admin/reload loads
+        weights from a server-side filesystem path and must not be open
+        to arbitrary network clients."""
+        token = getattr(self.server, "admin_token", None)
+        if token:
+            got = self.headers.get("Authorization", "")
+            if got != f"Bearer {token}":
+                raise BadRequest("admin: invalid or missing bearer token")
+        elif self.client_address[0] not in ("127.0.0.1", "::1"):
+            raise BadRequest("admin: loopback-only (start the server "
+                             "with --admin-token to allow remote admin)")
 
     def _read_json(self):
         n = int(self.headers.get("Content-Length") or 0)
@@ -215,6 +346,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, {"ok": True})
         elif self.path == "/stats":
             self._send(200, self.server.stats())
+        elif self.path == "/metrics":
+            self._send_text(200, self.server.metrics_text())
         else:
             self._send(404, {"error": f"no such path: {self.path}"})
 
@@ -222,13 +355,16 @@ class _Handler(BaseHTTPRequestHandler):
         srv = self.server
         try:
             if self.path == "/v1/respond":
+                t0 = time.monotonic()
                 req = parse_request(self._read_json())
                 answer, score = srv.respond_one(req)
+                srv.latency.observe(time.monotonic() - t0)
                 srv.count()
                 self._send(200, {"answer": answer, "score": float(score)})
             elif self.path == "/admin/reload":
+                self._check_admin()
                 n = int(self.headers.get("Content-Length") or 0)
-                body = json.loads(self.rfile.read(n)) if n > 0 else {}
+                body = self._read_json() if n > 0 else {}
                 if not isinstance(body, dict):
                     raise BadRequest("body must be a JSON object")
                 model = body.get("model")
@@ -238,9 +374,12 @@ class _Handler(BaseHTTPRequestHandler):
                     epoch = srv.session.reload(model)
                 except (ValueError, FileNotFoundError) as e:
                     raise BadRequest(str(e))
+                with srv._count_lock:
+                    srv.n_reloads += 1
                 srv.count()
                 self._send(200, {"ok": True, "epoch": epoch})
             elif self.path == "/v1/respond_batch":
+                t0 = time.monotonic()
                 body = self._read_json()
                 raw = body.get("requests") if isinstance(body, dict) else None
                 if not isinstance(raw, list) or not raw:
@@ -248,6 +387,7 @@ class _Handler(BaseHTTPRequestHandler):
                         "'requests' (non-empty list) is required")
                 reqs = [parse_request(r) for r in raw]
                 results = srv.respond_many(reqs)
+                srv.latency.observe(time.monotonic() - t0)
                 srv.count()
                 self._send(200, {"results": [
                     {"answer": a, "score": float(s)} for a, s in results]})
@@ -268,11 +408,12 @@ class _Handler(BaseHTTPRequestHandler):
 
 def start_server(session: ServingSession, host: str = "127.0.0.1",
                  port: int = 0, max_in_flight: int = 2,
-                 max_wait_ms: float = 5.0) -> MTNServer:
+                 max_wait_ms: float = 5.0,
+                 admin_token: Optional[str] = None) -> MTNServer:
     """Bind and serve on a daemon thread; returns the (running) server.
     ``port=0`` binds an ephemeral port (``server.server_address[1]``)."""
     srv = MTNServer((host, port), session, max_in_flight=max_in_flight,
-                    max_wait_ms=max_wait_ms)
+                    max_wait_ms=max_wait_ms, admin_token=admin_token)
     t = threading.Thread(target=srv.serve_forever, daemon=True,
                          name="mtn-http")
     t.start()
@@ -309,6 +450,9 @@ def main(argv=None) -> int:
                         help="batching window: max wait for co-riders")
     parser.add_argument("--max-in-flight", default=2, type=int,
                         help="device batches dispatched concurrently")
+    parser.add_argument("--admin-token", default=None,
+                        help="bearer token for /admin/* routes; without "
+                             "it, admin is loopback-only")
     parser.add_argument("--mesh-data", default=-1, type=int)
     parser.add_argument("--mesh-model", default=1, type=int)
     add_logging_args(parser)
@@ -327,7 +471,8 @@ def main(argv=None) -> int:
                                              mesh=mesh)
     srv = MTNServer((args.host, args.port), session,
                     max_in_flight=args.max_in_flight,
-                    max_wait_ms=args.max_wait_ms)
+                    max_wait_ms=args.max_wait_ms,
+                    admin_token=args.admin_token)
     logging.info("serving %s on http://%s:%d (style=%s, turn_batch=%d)",
                  args.model, *srv.server_address, args.decode_style,
                  args.turn_batch)

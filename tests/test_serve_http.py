@@ -244,3 +244,71 @@ def test_admin_reload_endpoint(http_server):
         assert e.code in (400, 500)
     status, _ = _get(base + "/healthz")
     assert status == 200
+
+
+def test_metrics_endpoint_and_latency_stats(http_server):
+    """GET /metrics speaks the Prometheus text format with counters
+    consistent with /stats, and /stats carries a latency summary fed by
+    the decode routes."""
+    srv, base, feats = http_server
+    # ensure at least one timed decode has happened in this fixture
+    _post(base + "/v1/respond", {"question": "is there any sound ?"})
+    code, stats = _get(base + "/stats")
+    assert code == 200
+    lat = stats["latency"]
+    assert lat["count"] >= 1
+    assert lat["mean_ms"] > 0 and lat["p50_ms"] > 0
+    assert lat["p90_ms"] >= lat["p50_ms"]
+
+    req = urllib.request.Request(base + "/metrics")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    lines = text.splitlines()
+    metrics = {l.split(" ")[0]: l.split(" ")[1] for l in lines
+               if l and not l.startswith("#") and "{" not in l.split(" ")[0]}
+    assert int(metrics["mtn_requests_total"]) == stats["requests"]
+    assert int(metrics["mtn_errors_total"]) == stats["errors"]
+    assert int(metrics["mtn_launches_total"]) >= 1
+    assert float(metrics["mtn_uptime_seconds"]) > 0
+    assert int(metrics["mtn_request_latency_seconds_count"]) == lat["count"]
+    assert float(metrics["mtn_request_latency_seconds_sum"]) > 0
+    # histogram buckets are cumulative and end with +Inf == count
+    buckets = [l for l in lines
+               if l.startswith("mtn_request_latency_seconds_bucket")]
+    counts = [int(l.rsplit(" ", 1)[1]) for l in buckets]
+    assert counts == sorted(counts)
+    assert 'le="+Inf"' in buckets[-1]
+    assert counts[-1] == lat["count"]
+
+
+def test_admin_token_gate(served):
+    """With --admin-token set, /admin/* requires the bearer token (even
+    from loopback); /v1/* stays open."""
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import ServingSession
+    from mtn_tpu.serve_http import start_server
+    prefix, feats = served
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2,
+                                       turn_batch=2))
+    srv = start_server(session, port=0, admin_token="sekrit")
+    base = "http://%s:%d" % srv.server_address
+    try:
+        try:
+            _post(base + "/admin/reload", {})
+            assert False, "expected 400 without token"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        req = urllib.request.Request(
+            base + "/admin/reload", data=b"{}",
+            headers={"Authorization": "Bearer sekrit"}, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+            assert json.loads(r.read())["ok"] is True
+        status, out = _post(base + "/v1/respond",
+                            {"question": "is there any sound ?"})
+        assert status == 200
+    finally:
+        srv.close()
