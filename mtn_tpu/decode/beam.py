@@ -268,14 +268,11 @@ class BeamDecoder:
         return jax.jit(greedy_fn)
 
     # ------------------------------------------------------------------
-    def _build_sample(self):
-        """Ancestral sampling with temperature / top-k / top-p — a
-        serving-grade decode mode the reference lacks (its only styles
-        are greedy and beam, generate.py:104). Same cached one-token
-        step as greedy; the distribution transform runs per step fully
-        on device."""
+    def _sample_transform(self):
+        """The temperature / top-k / top-p logits transform, shared by
+        the scan-based sampler and the streaming step so both draw
+        identical tokens from the same rng."""
         cfg = self.cfg
-        maxlen = cfg.maxlen
         temp, top_k, top_p = cfg.temperature, cfg.top_k, cfg.top_p
 
         def transform(logp):
@@ -301,6 +298,19 @@ class BeamDecoder:
                 ].set(keep_sorted)
                 logits = jnp.where(keep, logits, NEG_INF)
             return logits
+
+        return transform
+
+    def _build_sample(self):
+        """Ancestral sampling with temperature / top-k / top-p — a
+        serving-grade decode mode the reference lacks (its only styles
+        are greedy and beam, generate.py:104). Same cached one-token
+        step as greedy; the distribution transform runs per step fully
+        on device."""
+        cfg = self.cfg
+        maxlen = cfg.maxlen
+        temp = cfg.temperature
+        transform = self._sample_transform()
 
         def sample_fn(params, batch: DeviceBatch, rng):
             B = batch.query.shape[0]
@@ -417,3 +427,78 @@ class BeamDecoder:
         toks, valid = self._gather(self._greedy_fn(params, batch),
                                    batch.valid)
         return self._cut_rows(toks, valid)
+
+    # -- streaming ------------------------------------------------------
+    def _jit(self, fn):
+        if self.mesh is not None:
+            with self.mesh:
+                return jax.jit(fn)
+        return jax.jit(fn)
+
+    def _build_stream(self, style: str):
+        """Two compiled programs instead of one whole-loop program: a
+        prefix (encoder + caches) and a one-token step. The host drives
+        the loop and sees every token as it lands — the streaming
+        counterpart of greedy/sample_batch. The step's position argument
+        is a traced scalar, so all maxlen iterations reuse the single
+        compiled step executable."""
+        maxlen = self.cfg.maxlen
+        temp = self.cfg.temperature
+        transform = self._sample_transform()
+
+        def prefix_fn(params, batch: DeviceBatch):
+            state = self._decode_state(params, batch)
+            self_kv = self.model.init_self_kv(batch.query.shape[0], maxlen)
+            return state, self_kv
+
+        def step_fn(params, state, cur, l, self_kv, rng):
+            logp, self_kv = self._step(params, state, cur, l, self_kv)
+            if style == "greedy" or temp <= 0.0:
+                nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+            else:
+                # identical draw law to sample_fn: rng keyed by position
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(rng, l),
+                    transform(logp)).astype(jnp.int32)
+            return nxt, self_kv
+
+        return self._jit(prefix_fn), self._jit(step_fn)
+
+    def stream_tokens(self, params, batch: DeviceBatch, style: str = "greedy",
+                      rng=None, fold: int = 0):
+        """Generator of per-step token arrays (one int per *valid* row),
+        ending after every valid row has emitted <eos> or at maxlen.
+
+        Concatenating a row's yields (cut at its first <eos>) equals the
+        corresponding greedy_batch / sample_batch output — proven in
+        tests/test_beam.py. Each step costs one device round-trip; this
+        is the interactive-latency trade (tokens appear as they are
+        decoded) versus the single-program batch decoders."""
+        if style not in ("greedy", "sample"):
+            raise ValueError(f"stream_tokens: style {style!r} "
+                             "(beam n-bests cannot stream)")
+        if jax.process_count() > 1:
+            raise RuntimeError("stream_tokens is single-host serving "
+                               "(per-step host fetches)")
+        key = f"_stream_{style}"
+        fns = getattr(self, key, None)
+        if fns is None:
+            fns = self._build_stream(style)
+            setattr(self, key, fns)
+        prefix_fn, step_fn = fns
+        if rng is None:
+            rng = jax.random.PRNGKey(self.cfg.sample_seed)
+            if fold:
+                rng = jax.random.fold_in(rng, fold)
+        state, self_kv = prefix_fn(params, batch)
+        B = batch.query.shape[0]
+        valid = np.asarray(batch.valid)
+        cur = jnp.full((B,), self.sos, jnp.int32)
+        done = ~valid.copy()
+        for l in range(self.cfg.maxlen):
+            cur, self_kv = step_fn(params, state, cur, l, self_kv, rng)
+            host = np.asarray(cur)
+            yield host[valid]
+            done |= host == self.eos
+            if done.all():
+                return

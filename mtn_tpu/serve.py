@@ -222,6 +222,32 @@ class ServingSession:
                       caption=caption, features=features or {})
         return self.respond_batch([req])[0][0]
 
+    def stream(self, request: Request, style: Optional[str] = None):
+        """Generator of answer words for ONE request, emitted as they
+        are decoded (per-step device fetches; see
+        BeamDecoder.stream_tokens). ``style`` is 'greedy' or 'sample';
+        default follows decode_cfg, with beam sessions streaming
+        greedily (an n-best cannot stream). Ends at <eos> or maxlen."""
+        if style is None:
+            style = self.decode_cfg.decode_style
+            if style == "beam_search":
+                style = "greedy"
+        hb = encode_requests([request], self.model_cfg, self.data_cfg,
+                             self.vocab, self._lb, self._fb,
+                             pad_rows_to=self.decode_cfg.turn_batch)
+        db = device_batch(hb, self.model_cfg.dtype)
+        fold = 0
+        if style == "sample":
+            fold = self._sample_calls
+            self._sample_calls += 1
+        eos = self.vocab["<eos>"]
+        for step_tokens in self.decoder.stream_tokens(
+                self.params, db, style=style, fold=fold):
+            t = int(step_tokens[0])   # the one valid row
+            if t == eos:
+                return
+            yield self.vlist[t]
+
 
 class AsyncServer:
     """Continuous-batching wrapper around a :class:`ServingSession`.

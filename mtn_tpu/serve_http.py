@@ -17,6 +17,14 @@ API (all JSON)::
                         ->  {"answer": str, "score": float}
     POST /v1/respond_batch  {"requests": [<respond body>, ...]}
                         ->  {"results": [{"answer", "score"}, ...]}
+    POST /v1/stream         <respond body> (+ optional "style":
+                            "greedy"|"sample")
+                        ->  Server-Sent Events: one
+                            ``data: {"token": word}`` per decoded word
+                            as it lands, then
+                            ``data: {"done": true, "answer": str}``.
+                            Beam sessions stream greedily (an n-best
+                            cannot stream token-by-token).
     GET  /healthz       ->  {"ok": true}
     GET  /stats         ->  {"requests", "errors", "launches",
                              "uptime_s", "decode_style", "turn_batch",
@@ -351,6 +359,41 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send(404, {"error": f"no such path: {self.path}"})
 
+    def _stream_events(self, req, style):
+        """SSE: emit each decoded word as soon as the device yields it.
+        The response has no Content-Length — the connection closes at
+        the final event (close_connection below), which every SSE
+        client treats as end-of-stream."""
+        srv = self.server
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Connection", "close")
+        self.end_headers()
+        self.close_connection = True
+
+        def event(obj):
+            self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
+            self.wfile.flush()
+
+        words = []
+        t0 = time.monotonic()
+        try:
+            # streams serialize behind the session lock (the session's
+            # lazy-built stream programs + sample rng fold are shared
+            # mutable state); beam sessions' batcher traffic is
+            # unaffected (separate compiled programs)
+            with srv._lock:
+                for word in srv.session.stream(req, style=style):
+                    words.append(word)
+                    event({"token": word})
+            srv.latency.observe(time.monotonic() - t0)
+            srv.count()
+            event({"done": True, "answer": " ".join(words)})
+        except Exception as e:  # headers are gone; surface in-stream
+            srv.count(error=True)
+            event({"error": f"{type(e).__name__}: {e}"})
+
     def do_POST(self):
         srv = self.server
         try:
@@ -378,6 +421,15 @@ class _Handler(BaseHTTPRequestHandler):
                     srv.n_reloads += 1
                 srv.count()
                 self._send(200, {"ok": True, "epoch": epoch})
+            elif self.path == "/v1/stream":
+                body = self._read_json()
+                style = (body or {}).get("style") \
+                    if isinstance(body, dict) else None
+                if style is not None and style not in ("greedy", "sample"):
+                    raise BadRequest(
+                        "'style' must be 'greedy' or 'sample'")
+                req = parse_request(body)
+                self._stream_events(req, style)
             elif self.path == "/v1/respond_batch":
                 t0 = time.monotonic()
                 body = self._read_json()

@@ -267,3 +267,65 @@ def test_scan_unroll_preserves_semantics(setup):
                     unrolled.beam_batch(params, db)):
         assert a.tokens == b.tokens
         assert a.scores == pytest.approx(b.scores, abs=1e-5)
+
+
+def _assemble_stream(gen, n_valid, eos=EOS):
+    """Reassemble stream_tokens yields into per-row token lists cut at
+    each row's first <eos> (the _cut_rows law)."""
+    rows = [[] for _ in range(n_valid)]
+    done = [False] * n_valid
+    for step_tokens in gen:
+        assert len(step_tokens) == n_valid
+        for i, t in enumerate(step_tokens):
+            if done[i]:
+                continue
+            if int(t) == eos:
+                done[i] = True
+            else:
+                rows[i].append(int(t))
+    return rows
+
+
+def test_stream_matches_greedy(setup):
+    """Token streaming (host-driven per-step loop) must reproduce the
+    single-program greedy decode exactly."""
+    cfg, model, params, db = setup
+    dec = BeamDecoder(cfg, DecodeConfig(maxlen=8))
+    want = dec.greedy_batch(params, db)
+    got = _assemble_stream(dec.stream_tokens(params, db, style="greedy"),
+                           len(want))
+    assert got == want
+
+
+def test_stream_matches_sample(setup):
+    """Streamed sampling draws the identical tokens as sample_batch for
+    the same seed/fold (shared transform + position-keyed rng)."""
+    cfg, model, params, db = setup
+    dec = BeamDecoder(cfg, DecodeConfig(maxlen=8, decode_style="sample",
+                                        temperature=1.0, top_p=0.9))
+    for fold in (0, 2):
+        want = dec.sample_batch(params, db, fold=fold)
+        got = _assemble_stream(
+            dec.stream_tokens(params, db, style="sample", fold=fold),
+            len(want))
+        assert got == want, f"fold={fold}"
+
+
+def test_stream_respects_invalid_rows(setup):
+    """Invalid (padding) rows are dropped from every yield and do not
+    keep the stream alive."""
+    cfg, model, params, db = setup
+    db2 = dataclasses.replace(
+        db, valid=jnp.array([True, False, True]))
+    dec = BeamDecoder(cfg, DecodeConfig(maxlen=6))
+    want = dec.greedy_batch(params, db2)   # 2 rows
+    assert len(want) == 2
+    got = _assemble_stream(dec.stream_tokens(params, db2), 2)
+    assert got == want
+
+
+def test_stream_rejects_beam_style(setup):
+    cfg, model, params, db = setup
+    dec = BeamDecoder(cfg, DecodeConfig(maxlen=6))
+    with pytest.raises(ValueError):
+        next(dec.stream_tokens(params, db, style="beam_search"))

@@ -283,6 +283,47 @@ def test_metrics_endpoint_and_latency_stats(http_server):
     assert counts[-1] == lat["count"]
 
 
+def test_stream_endpoint_sse(http_server):
+    """POST /v1/stream emits Server-Sent Events: one token per decoded
+    word, then a done event whose answer equals the joined tokens (and,
+    for this beam session streaming greedily, a real decode)."""
+    srv, base, feats = http_server
+    req = urllib.request.Request(
+        base + "/v1/stream",
+        data=json.dumps({"question": "is there any sound ?"}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    events = []
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "text/event-stream"
+        for raw in r:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                events.append(json.loads(line[len("data: "):]))
+    assert events, "no SSE events received"
+    assert events[-1].get("done") is True
+    tokens = [e["token"] for e in events[:-1]]
+    assert all(isinstance(t, str) for t in tokens)
+    assert events[-1]["answer"] == " ".join(tokens)
+    # greedy semantics: the same request streamed twice is identical
+    with urllib.request.urlopen(urllib.request.Request(
+            base + "/v1/stream", data=req.data,
+            headers={"Content-Type": "application/json"},
+            method="POST"), timeout=300) as r:
+        again = [json.loads(l.decode().strip()[len("data: "):])
+                 for l in r if l.decode().strip().startswith("data: ")]
+    assert again == events
+
+
+def test_stream_endpoint_rejects_bad_style(http_server):
+    srv, base, _ = http_server
+    try:
+        _post(base + "/v1/stream", {"question": "x", "style": "beam"})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
 def test_admin_token_gate(served):
     """With --admin-token set, /admin/* requires the bearer token (even
     from loopback); /v1/* stays open."""
