@@ -35,6 +35,12 @@ def _round_up(n: int, m: int) -> int:
     return n if m <= 1 else -(-n // m) * m
 
 
+class ServerOverloaded(RuntimeError):
+    """Load-shedding signal: the serving queue is at capacity. HTTP
+    maps this to 503 + Retry-After so callers back off instead of
+    piling onto an unbounded queue."""
+
+
 @dataclasses.dataclass
 class Request:
     question: str
@@ -264,10 +270,16 @@ class AsyncServer:
     in-flight slot AND either ``turn_batch`` requests are waiting or
     ``max_wait_ms`` has passed since the oldest waiting request — the
     standard latency/throughput knob of continuous-batching servers.
+
+    Backpressure: with ``max_queue > 0``, ``submit`` raises
+    :class:`ServerOverloaded` once that many requests are already
+    waiting (approximate under concurrency — qsize races with the
+    scheduler — which is the standard load-shedding trade: the bound
+    protects the queue from runaway growth, not an exact count).
     """
 
     def __init__(self, session: ServingSession, max_in_flight: int = 2,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, max_queue: int = 0):
         import queue
         import threading
         if session.decode_cfg.decode_style != "beam_search":
@@ -278,6 +290,7 @@ class AsyncServer:
         self.session = session
         self.max_in_flight = max_in_flight
         self.max_wait = max_wait_ms / 1e3
+        self.max_queue = max_queue
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self.launches = 0       # program launches (for tests/metrics)
@@ -286,9 +299,16 @@ class AsyncServer:
 
     def submit(self, request: Request):
         from concurrent.futures import Future
+        if self.max_queue and self._q.qsize() >= self.max_queue:
+            raise ServerOverloaded(
+                f"decode queue full ({self.max_queue} requests waiting)")
         fut: Future = Future()
         self._q.put((request, fut))
         return fut
+
+    def queue_depth(self) -> int:
+        """Approximate number of requests waiting for a launch slot."""
+        return self._q.qsize()
 
     def respond(self, request: Request, timeout: Optional[float] = None):
         return self.submit(request).result(timeout)

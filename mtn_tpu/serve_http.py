@@ -39,6 +39,19 @@ API (all JSON)::
                             compiled program — zero downtime). Admin
                             routes require ``--admin-token`` as a bearer
                             token, or default to loopback-only.
+    POST /admin/drain       {"resume": bool}              # optional body
+                        ->  {"ok": true, "draining": bool}
+                            graceful drain for zero-downtime restarts:
+                            while draining, /v1/* and /healthz return
+                            503 (load balancers eject the instance;
+                            in-flight requests finish), admin/stats/
+                            metrics stay up; {"resume": true} re-admits.
+
+Backpressure: with ``--max-queue N``, requests beyond N waiting are
+rejected with 503 + ``Retry-After`` (:class:`ServerOverloaded`) instead
+of growing an unbounded queue — for beam sessions the bound is the
+continuous batcher's waiting queue, for greedy/sample/stream sessions
+it is the number of requests admitted to the serialized session.
 
 A feature ``value`` is either a nested list (2-D ``(T, D)`` or 3-D
 ``(T, R, D)``, converted to float32) or ``{"npy_b64": "..."}`` — the
@@ -66,7 +79,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from mtn_tpu.serve import AsyncServer, Request, ServingSession
+from mtn_tpu.serve import (AsyncServer, Request, ServerOverloaded,
+                           ServingSession)
 
 
 class BadRequest(ValueError):
@@ -198,45 +212,90 @@ class MTNServer(ThreadingHTTPServer):
 
     def __init__(self, addr, session: ServingSession,
                  max_in_flight: int = 2, max_wait_ms: float = 5.0,
-                 admin_token: Optional[str] = None):
+                 admin_token: Optional[str] = None, max_queue: int = 0):
         super().__init__(addr, _Handler)
         self.session = session
         # /admin/* auth: bearer token if set, else loopback-only
         self.admin_token = admin_token
+        self.max_queue = max_queue
+        self.draining = False
         self.async_server: Optional[AsyncServer] = None
         if session.decode_cfg.decode_style == "beam_search":
             self.async_server = AsyncServer(
                 session, max_in_flight=max_in_flight,
-                max_wait_ms=max_wait_ms)
+                max_wait_ms=max_wait_ms, max_queue=max_queue)
         self._lock = threading.Lock()
         self._t0 = time.time()
         self.n_requests = 0
         self.n_errors = 0
         self.n_reloads = 0
+        self.n_rejected = 0
+        self._admitted = 0
         self._count_lock = threading.Lock()
         self.latency = LatencyHistogram()
 
     # -- serving ------------------------------------------------------------
+    def _admission(self):
+        """Load-shedding gate for the lock-serialized session paths
+        (greedy/sample respond + all streams): bounds the number of
+        requests queued on the session lock when max_queue is set."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def gate():
+            if self.max_queue:
+                with self._count_lock:
+                    if self._admitted >= self.max_queue:
+                        raise ServerOverloaded(
+                            f"session queue full ({self._admitted} "
+                            "requests in flight)")
+                    self._admitted += 1
+                try:
+                    yield
+                finally:
+                    with self._count_lock:
+                        self._admitted -= 1
+            else:
+                yield
+        return gate()
+
     def respond_one(self, req: Request) -> Tuple[str, float]:
         if self.async_server is not None:
             return self.async_server.respond(req)
-        with self._lock:
+        with self._admission(), self._lock:
             return self.session.respond_batch([req])[0]
 
     def respond_many(self, reqs: List[Request]) -> List[Tuple[str, float]]:
         if self.async_server is not None:
-            # submit all first so the scheduler can pack them together
-            futs = [self.async_server.submit(r) for r in reqs]
+            # submit all first so the scheduler can pack them together;
+            # if the queue bound hits mid-way, release what was queued
+            futs = []
+            try:
+                for r in reqs:
+                    futs.append(self.async_server.submit(r))
+            except ServerOverloaded:
+                for f in futs:
+                    f.cancel()
+                raise
             return [f.result() for f in futs]
-        with self._lock:
+        with self._admission(), self._lock:
             return self.session.respond_batch(reqs)
+
+    def queue_depth(self) -> int:
+        if self.async_server is not None:
+            return self.async_server.queue_depth()
+        with self._count_lock:
+            return self._admitted
 
     def stats(self) -> dict:
         with self._count_lock:
-            n, e = self.n_requests, self.n_errors
+            n, e, rej = self.n_requests, self.n_errors, self.n_rejected
         return {
             "requests": n,
             "errors": e,
+            "rejected": rej,
+            "queue_depth": self.queue_depth(),
+            "draining": self.draining,
             "launches": (self.async_server.launches
                          if self.async_server else None),
             "uptime_s": round(time.time() - self._t0, 3),
@@ -251,6 +310,7 @@ class MTNServer(ThreadingHTTPServer):
         into an existing monitoring stack with no adapter."""
         with self._count_lock:
             n, e, r = self.n_requests, self.n_errors, self.n_reloads
+            rejected = self.n_rejected
         counts, lat_sum, lat_count = self.latency.snapshot()
         lines = [
             "# HELP mtn_requests_total Completed API requests.",
@@ -266,6 +326,16 @@ class MTNServer(ThreadingHTTPServer):
             "# TYPE mtn_launches_total counter",
             "mtn_launches_total %d" % (self.async_server.launches
                                        if self.async_server else 0),
+            "# HELP mtn_rejected_total Requests shed with 503 "
+            "(overload or draining).",
+            "# TYPE mtn_rejected_total counter",
+            f"mtn_rejected_total {rejected}",
+            "# HELP mtn_queue_depth Requests waiting for a decode slot.",
+            "# TYPE mtn_queue_depth gauge",
+            f"mtn_queue_depth {self.queue_depth()}",
+            "# HELP mtn_draining 1 while /admin/drain is in effect.",
+            "# TYPE mtn_draining gauge",
+            f"mtn_draining {int(self.draining)}",
             "# HELP mtn_uptime_seconds Seconds since server start.",
             "# TYPE mtn_uptime_seconds gauge",
             f"mtn_uptime_seconds {time.time() - self._t0:.3f}",
@@ -291,6 +361,10 @@ class MTNServer(ThreadingHTTPServer):
             if error:
                 self.n_errors += 1
 
+    def count_rejected(self):
+        with self._count_lock:
+            self.n_rejected += 1
+
     def close(self):
         """Stop accepting connections and drain the batcher."""
         self.shutdown()
@@ -304,11 +378,14 @@ class _Handler(BaseHTTPRequestHandler):
     server: MTNServer  # set by ThreadingHTTPServer machinery
 
     # -- plumbing -----------------------------------------------------------
-    def _send(self, code: int, payload: dict):
+    def _send(self, code: int, payload: dict,
+              extra_headers: Optional[Dict[str, str]] = None):
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for k, v in (extra_headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
@@ -351,7 +428,11 @@ class _Handler(BaseHTTPRequestHandler):
     # -- routes -------------------------------------------------------------
     def do_GET(self):
         if self.path == "/healthz":
-            self._send(200, {"ok": True})
+            if self.server.draining:
+                # 503 so load balancers eject the draining instance
+                self._send(503, {"ok": False, "draining": True})
+            else:
+                self._send(200, {"ok": True})
         elif self.path == "/stats":
             self._send(200, self.server.stats())
         elif self.path == "/metrics":
@@ -365,38 +446,55 @@ class _Handler(BaseHTTPRequestHandler):
         the final event (close_connection below), which every SSE
         client treats as end-of-stream."""
         srv = self.server
-        self.send_response(200)
-        self.send_header("Content-Type", "text/event-stream")
-        self.send_header("Cache-Control", "no-cache")
-        self.send_header("Connection", "close")
-        self.end_headers()
-        self.close_connection = True
+        # admission BEFORE headers: an overload rejection must still be
+        # a clean 503 (mapped by do_POST), not a broken event stream
+        with srv._admission():
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            self.close_connection = True
 
-        def event(obj):
-            self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
-            self.wfile.flush()
+            def event(obj):
+                self.wfile.write(b"data: " + json.dumps(obj).encode()
+                                 + b"\n\n")
+                self.wfile.flush()
 
-        words = []
-        t0 = time.monotonic()
-        try:
-            # streams serialize behind the session lock (the session's
-            # lazy-built stream programs + sample rng fold are shared
-            # mutable state); beam sessions' batcher traffic is
-            # unaffected (separate compiled programs)
-            with srv._lock:
-                for word in srv.session.stream(req, style=style):
-                    words.append(word)
-                    event({"token": word})
-            srv.latency.observe(time.monotonic() - t0)
-            srv.count()
-            event({"done": True, "answer": " ".join(words)})
-        except Exception as e:  # headers are gone; surface in-stream
-            srv.count(error=True)
-            event({"error": f"{type(e).__name__}: {e}"})
+            words = []
+            t0 = time.monotonic()
+            try:
+                # streams serialize behind the session lock (the
+                # session's lazy-built stream programs + sample rng fold
+                # are shared mutable state); beam sessions' batcher
+                # traffic is unaffected (separate compiled programs)
+                with srv._lock:
+                    for word in srv.session.stream(req, style=style):
+                        words.append(word)
+                        event({"token": word})
+                srv.latency.observe(time.monotonic() - t0)
+                srv.count()
+                event({"done": True, "answer": " ".join(words)})
+            except Exception as e:  # headers are gone; surface in-stream
+                srv.count(error=True)
+                event({"error": f"{type(e).__name__}: {e}"})
+
+    def _discard_body(self):
+        """Drain the unread body so a keep-alive connection's next
+        request parses from a clean stream."""
+        n = int(self.headers.get("Content-Length") or 0)
+        if n > 0:
+            self.rfile.read(n)
 
     def do_POST(self):
         srv = self.server
         try:
+            if self.path.startswith("/v1/") and srv.draining:
+                self._discard_body()
+                srv.count_rejected()
+                self._send(503, {"error": "draining"},
+                           extra_headers={"Retry-After": "5"})
+                return
             if self.path == "/v1/respond":
                 t0 = time.monotonic()
                 req = parse_request(self._read_json())
@@ -421,6 +519,18 @@ class _Handler(BaseHTTPRequestHandler):
                     srv.n_reloads += 1
                 srv.count()
                 self._send(200, {"ok": True, "epoch": epoch})
+            elif self.path == "/admin/drain":
+                self._check_admin()
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self._read_json() if n > 0 else {}
+                if not isinstance(body, dict):
+                    raise BadRequest("body must be a JSON object")
+                resume = body.get("resume", False)
+                if not isinstance(resume, bool):
+                    raise BadRequest("'resume' must be a boolean")
+                srv.draining = not resume
+                srv.count()
+                self._send(200, {"ok": True, "draining": srv.draining})
             elif self.path == "/v1/stream":
                 body = self._read_json()
                 style = (body or {}).get("style") \
@@ -444,12 +554,12 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(200, {"results": [
                     {"answer": a, "score": float(s)} for a, s in results]})
             else:
-                # drain the unread body so a keep-alive connection's
-                # next request parses from a clean stream
-                n = int(self.headers.get("Content-Length") or 0)
-                if n > 0:
-                    self.rfile.read(n)
+                self._discard_body()
                 self._send(404, {"error": f"no such path: {self.path}"})
+        except ServerOverloaded as e:
+            srv.count_rejected()
+            self._send(503, {"error": str(e)},
+                       extra_headers={"Retry-After": "1"})
         except BadRequest as e:
             srv.count(error=True)
             self._send(400, {"error": str(e)})
@@ -461,11 +571,13 @@ class _Handler(BaseHTTPRequestHandler):
 def start_server(session: ServingSession, host: str = "127.0.0.1",
                  port: int = 0, max_in_flight: int = 2,
                  max_wait_ms: float = 5.0,
-                 admin_token: Optional[str] = None) -> MTNServer:
+                 admin_token: Optional[str] = None,
+                 max_queue: int = 0) -> MTNServer:
     """Bind and serve on a daemon thread; returns the (running) server.
     ``port=0`` binds an ephemeral port (``server.server_address[1]``)."""
     srv = MTNServer((host, port), session, max_in_flight=max_in_flight,
-                    max_wait_ms=max_wait_ms, admin_token=admin_token)
+                    max_wait_ms=max_wait_ms, admin_token=admin_token,
+                    max_queue=max_queue)
     t = threading.Thread(target=srv.serve_forever, daemon=True,
                          name="mtn-http")
     t.start()
@@ -505,6 +617,9 @@ def main(argv=None) -> int:
     parser.add_argument("--admin-token", default=None,
                         help="bearer token for /admin/* routes; without "
                              "it, admin is loopback-only")
+    parser.add_argument("--max-queue", default=0, type=int,
+                        help="reject requests with 503 once this many "
+                             "are waiting (0 = unbounded)")
     parser.add_argument("--mesh-data", default=-1, type=int)
     parser.add_argument("--mesh-model", default=1, type=int)
     add_logging_args(parser)
@@ -524,7 +639,8 @@ def main(argv=None) -> int:
     srv = MTNServer((args.host, args.port), session,
                     max_in_flight=args.max_in_flight,
                     max_wait_ms=args.max_wait_ms,
-                    admin_token=args.admin_token)
+                    admin_token=args.admin_token,
+                    max_queue=args.max_queue)
     logging.info("serving %s on http://%s:%d (style=%s, turn_batch=%d)",
                  args.model, *srv.server_address, args.decode_style,
                  args.turn_batch)

@@ -238,3 +238,27 @@ def test_hot_reload_swaps_params(served, tmp_path):
     # missing path suffices for the error contract here)
     with pytest.raises(Exception):
         session.reload(str(tmp_path / "nope" / "mtn_best"))
+
+
+def test_async_server_backpressure(served, monkeypatch):
+    """With max_queue set, submit sheds load with ServerOverloaded once
+    that many requests wait; freeing a slot re-admits. The scheduler
+    loop is stubbed out so the queue provably never drains."""
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import (AsyncServer, Request, ServerOverloaded,
+                               ServingSession)
+    prefix, feats = served
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2,
+                                       turn_batch=4))
+    monkeypatch.setattr(AsyncServer, "_loop", lambda self: None)
+    srv = AsyncServer(session, max_queue=2)
+    r = Request(question="is there any sound ?", features=feats)
+    f1 = srv.submit(r)
+    srv.submit(r)
+    assert srv.queue_depth() == 2
+    with pytest.raises(ServerOverloaded):
+        srv.submit(r)
+    srv._q.get_nowait()  # a launch frees a slot
+    assert type(srv.submit(r)) is type(f1)
+    assert srv.queue_depth() == 2

@@ -353,3 +353,69 @@ def test_admin_token_gate(served):
         assert status == 200
     finally:
         srv.close()
+
+
+def test_drain_and_resume(http_server):
+    """POST /admin/drain: /v1/* and /healthz go 503 (in-flight requests
+    finish; stats/metrics/admin stay up) until {"resume": true}."""
+    srv, base, _ = http_server
+    try:
+        status, out = _post(base + "/admin/drain", {})
+        assert (status, out["draining"]) == (200, True)
+        for url, post_body in ((base + "/healthz", None),
+                               (base + "/v1/respond", {"question": "x"}),
+                               (base + "/v1/stream", {"question": "x"})):
+            try:
+                if post_body is None:
+                    _get(url)
+                else:
+                    _post(url, post_body)
+                assert False, f"expected 503 for {url}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 503
+        # observability stays up while draining
+        code, stats = _get(base + "/stats")
+        assert code == 200 and stats["draining"] is True
+        assert stats["rejected"] >= 2
+        assert "mtn_draining 1" in _get_text(base + "/metrics")
+    finally:
+        status, out = _post(base + "/admin/drain", {"resume": True})
+    assert (status, out["draining"]) == (200, False)
+    assert _get(base + "/healthz") == (200, {"ok": True})
+    code, out = _post(base + "/v1/respond",
+                      {"question": "is there any sound ?"})
+    assert code == 200 and isinstance(out["answer"], str)
+
+
+def _get_text(url, timeout=60):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.read().decode()
+
+
+def test_overload_maps_to_503_with_retry_after(http_server):
+    """A ServerOverloaded from the serving layer becomes 503 +
+    Retry-After and counts as rejected, not as an error."""
+    from mtn_tpu.serve import ServerOverloaded
+    srv, base, _ = http_server
+
+    def overloaded(req):
+        raise ServerOverloaded("decode queue full (1 requests waiting)")
+
+    srv.respond_one = overloaded  # shadow the bound method
+    try:
+        before = srv.stats()
+        try:
+            _post(base + "/v1/respond", {"question": "x"})
+            assert False, "expected 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert e.headers["Retry-After"] == "1"
+            assert "queue full" in json.loads(e.read())["error"]
+        after = srv.stats()
+        assert after["rejected"] == before["rejected"] + 1
+        assert after["errors"] == before["errors"]
+    finally:
+        del srv.respond_one  # restore the class method
+    code, out = _post(base + "/v1/respond",
+                      {"question": "is there any sound ?"})
+    assert code == 200
