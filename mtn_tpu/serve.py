@@ -142,6 +142,7 @@ class ServingSession:
         self._lb = max(self.data_cfg.length_bucket, 1)
         self._fb = max(self.data_cfg.feature_bucket, 1)
         self._sample_calls = 0  # fold per-call so noise isn't reused
+        self.epoch = None       # checkpoint epoch currently served
 
     @classmethod
     def from_checkpoint(cls, model_arg: str,
@@ -155,10 +156,12 @@ class ServingSession:
         vocab, conf = ckpt.load_conf()
         model_cfg = config_from_dict("model", conf["model"])
         data_cfg = config_from_dict("data", conf["data"])
-        params, _ = _restore_params(ckpt, epoch, model_cfg, data_cfg, vocab)
+        params, used_epoch = _restore_params(ckpt, epoch, model_cfg,
+                                             data_cfg, vocab)
         session = cls(params, model_cfg, data_cfg, vocab, decode_cfg,
                       mesh=mesh)
         session.model_arg = model_arg
+        session.epoch = used_epoch
         return session
 
     def reload(self, model_arg: Optional[str] = None) -> object:
@@ -193,7 +196,24 @@ class ServingSession:
                 f"{type(e).__name__}: {e}")
         self.params = new_params  # atomic swap
         self.model_arg = arg
+        self.epoch = used_epoch
         return used_epoch
+
+    def warmup(self, stream: bool = False) -> float:
+        """Compile-and-run every decode program this session serves on a
+        blank padded request, so the first real request pays no compile
+        latency (cold XLA compiles are seconds to minutes). Covers the
+        configured decode style; ``stream=True`` additionally builds the
+        streaming prefix/step pair. A sample-style warmup advances the
+        per-call rng fold like any other call. Returns seconds spent."""
+        import time as _time
+        t0 = _time.monotonic()
+        blank = Request(question="")
+        self.respond_batch([blank])
+        if stream:
+            for _ in self.stream(blank):
+                pass
+        return _time.monotonic() - t0
 
     def respond_batch(self, requests: Sequence[Request]
                       ) -> List[Tuple[str, float]]:

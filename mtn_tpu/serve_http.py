@@ -53,6 +53,12 @@ of growing an unbounded queue — for beam sessions the bound is the
 continuous batcher's waiting queue, for greedy/sample/stream sessions
 it is the number of requests admitted to the serialized session.
 
+Operations: ``--warmup`` compiles and runs every decode program on a
+blank request before the socket opens (no first-request compile stall);
+``--watch-seconds N`` polls the checkpoint and hot-reloads whenever the
+model arg (``_best``/``_latest``) resolves to a new epoch, so a server
+pointed at a live training run tracks it with zero downtime.
+
 A feature ``value`` is either a nested list (2-D ``(T, D)`` or 3-D
 ``(T, R, D)``, converted to float32) or ``{"npy_b64": "..."}`` — the
 base64 of an ``np.save`` byte string, the compact form for real
@@ -367,10 +373,57 @@ class MTNServer(ThreadingHTTPServer):
 
     def close(self):
         """Stop accepting connections and drain the batcher."""
+        stop = getattr(self, "_watch_stop", None)
+        if stop is not None:
+            stop.set()
         self.shutdown()
         self.server_close()
         if self.async_server is not None:
             self.async_server.stop()
+
+
+def start_watcher(srv: MTNServer, interval_s: float) -> threading.Event:
+    """Checkpoint watcher: poll the session's model arg (typically
+    ``<prefix>_best`` or ``<prefix>_latest``) and hot-reload whenever it
+    resolves to a different epoch than the one being served — so a
+    server pointed at a live training run tracks it with zero downtime
+    (training saves per epoch; ``reload`` reuses every compiled
+    program). Returns the stop event (also set by ``srv.close``)."""
+    import logging
+
+    from mtn_tpu.cli.generate import _split_model_arg
+    from mtn_tpu.utils.checkpoint import CheckpointManager
+
+    log = logging.getLogger("mtn_tpu.serve_http.watch")
+    if not getattr(srv.session, "model_arg", None):
+        raise ValueError("checkpoint watch needs a session built via "
+                         "ServingSession.from_checkpoint")
+    stop = threading.Event()
+    srv._watch_stop = stop
+
+    def resolve_target():
+        prefix, epoch = _split_model_arg(srv.session.model_arg)
+        ckpt = CheckpointManager(prefix)
+        if epoch == "best":
+            return ckpt.best_epoch()
+        if epoch == "latest":
+            return ckpt.latest_epoch()
+        return epoch
+
+    def loop():
+        while not stop.wait(interval_s):
+            try:
+                target = resolve_target()
+                if target is not None and target != srv.session.epoch:
+                    ep = srv.session.reload()
+                    with srv._count_lock:
+                        srv.n_reloads += 1
+                    log.info("hot-reloaded checkpoint epoch %s", ep)
+            except Exception:  # keep watching; next save may be whole
+                log.exception("checkpoint watch: reload failed")
+
+    threading.Thread(target=loop, daemon=True, name="mtn-watch").start()
+    return stop
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -620,6 +673,13 @@ def main(argv=None) -> int:
     parser.add_argument("--max-queue", default=0, type=int,
                         help="reject requests with 503 once this many "
                              "are waiting (0 = unbounded)")
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile-and-run the decode programs on a "
+                             "blank request before accepting traffic")
+    parser.add_argument("--watch-seconds", default=0.0, type=float,
+                        help="poll the checkpoint every N seconds and "
+                             "hot-reload when its best/latest epoch "
+                             "changes (0 = off)")
     parser.add_argument("--mesh-data", default=-1, type=int)
     parser.add_argument("--mesh-model", default=1, type=int)
     add_logging_args(parser)
@@ -636,11 +696,18 @@ def main(argv=None) -> int:
     mesh, _ = make_mesh_from_args(args, batch_size=args.turn_batch)
     session = ServingSession.from_checkpoint(args.model, decode_cfg,
                                              mesh=mesh)
+    if args.warmup:
+        sec = session.warmup(stream=True)
+        logging.info("warmup: decode programs compiled in %.1fs", sec)
     srv = MTNServer((args.host, args.port), session,
                     max_in_flight=args.max_in_flight,
                     max_wait_ms=args.max_wait_ms,
                     admin_token=args.admin_token,
                     max_queue=args.max_queue)
+    if args.watch_seconds > 0:
+        start_watcher(srv, args.watch_seconds)
+        logging.info("watching %s every %.1fs for new checkpoints",
+                     args.model, args.watch_seconds)
     logging.info("serving %s on http://%s:%d (style=%s, turn_batch=%d)",
                  args.model, *srv.server_address, args.decode_style,
                  args.turn_batch)

@@ -262,3 +262,23 @@ def test_async_server_backpressure(served, monkeypatch):
     srv._q.get_nowait()  # a launch frees a slot
     assert type(srv.submit(r)) is type(f1)
     assert srv.queue_depth() == 2
+
+
+def test_warmup_compiles_decode_programs(served):
+    """warmup() builds the configured decode program (and the stream
+    pair when asked) so the first real request hits warm caches."""
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import ServingSession
+    prefix, feats = served
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2,
+                                       turn_batch=2))
+    assert session.decoder._beam_fn is None
+    sec = session.warmup(stream=True)
+    assert sec >= 0.0
+    assert session.decoder._beam_fn is not None        # beam compiled
+    assert getattr(session.decoder, "_stream_greedy")  # stream pair too
+    ans = session.respond(question="is there any sound ?", features=feats)
+    assert isinstance(ans, str)
+    # the epoch served is tracked (watcher contract)
+    assert session.epoch == 1

@@ -419,3 +419,50 @@ def test_overload_maps_to_503_with_retry_after(http_server):
     code, out = _post(base + "/v1/respond",
                       {"question": "is there any sound ?"})
     assert code == 200
+
+
+def test_checkpoint_watcher_hot_reloads(served, tmp_path):
+    """start_watcher polls the model arg's resolution and hot-reloads
+    when a new best epoch lands — the serve-a-live-training-run loop."""
+    import os
+    import shutil
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import ServingSession
+    from mtn_tpu.serve_http import start_server, start_watcher
+    from mtn_tpu.train.schedule import make_optimizer
+    from mtn_tpu.train.trainer import TrainState
+    from mtn_tpu.utils.checkpoint import CheckpointManager
+
+    prefix, feats = served
+    exp2 = tmp_path / "exp_watch"
+    shutil.copytree(os.path.dirname(prefix), exp2)
+    prefix2 = str(exp2 / os.path.basename(prefix))
+
+    session = ServingSession.from_checkpoint(
+        prefix2 + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2,
+                                        turn_batch=2))
+    srv = start_server(session, port=0)
+    try:
+        assert session.epoch == 1
+        stop = start_watcher(srv, interval_s=0.1)
+        # a better-val-loss epoch 2 appears (as a training run would save)
+        bumped = jax.tree.map(lambda p: p + 0.01, session.params)
+        opt = make_optimizer(session.model_cfg.d_model, 10)
+        state = TrainState(params=bumped, opt_state=opt.init(bumped),
+                           step=jnp.zeros((), jnp.int32))
+        CheckpointManager(prefix2).save(2, state, val_loss=-1e9)
+        deadline = time.time() + 120
+        while session.epoch != 2 and time.time() < deadline:
+            time.sleep(0.1)
+        assert session.epoch == 2, "watcher did not pick up epoch 2"
+        for a, b in zip(jax.tree.leaves(session.params),
+                        jax.tree.leaves(bumped)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert srv.stats()  # server still healthy
+        stop.set()
+    finally:
+        srv.close()
