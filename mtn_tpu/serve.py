@@ -41,6 +41,21 @@ class ServerOverloaded(RuntimeError):
     piling onto an unbounded queue."""
 
 
+class DecodeResult(tuple):
+    """An ``(answer, score)`` pair that also carries the full n-best.
+
+    Unpacks exactly like the 2-tuple every caller already uses;
+    ``.nbest`` is the ranked ``[(answer_i, score_i), ...]`` list (the
+    reference's generate.py writes n-best hypothesis logs, so the
+    serving layer exposes them too — beam sessions have ``nbest``
+    entries, greedy/sample sessions a single one)."""
+
+    def __new__(cls, nbest):
+        self = tuple.__new__(cls, nbest[0])
+        self.nbest = list(nbest)
+        return self
+
+
 @dataclasses.dataclass
 class Request:
     question: str
@@ -234,11 +249,12 @@ class ServingSession:
                 self._sample_calls += 1
             else:
                 rows_out = self.decoder.greedy_batch(self.params, db)
-            return [(detokenize(r, self.vlist, self.vocab["<eos>"]), 0.0)
-                    for r in rows_out]
+            return [DecodeResult(
+                [(detokenize(r, self.vlist, self.vocab["<eos>"]), 0.0)])
+                for r in rows_out]
         results = self.decoder.beam_batch(self.params, db)
-        return [(detokenize(res.tokens[0], self.vlist,
-                            self.vocab["<eos>"]), res.scores[0])
+        return [DecodeResult([(a, float(s)) for a, s in
+                              res.texts(self.vlist, self.vocab["<eos>"])])
                 for res in results]
 
     def respond(self, question: str, history: Sequence[Tuple[str, str]] = (),
@@ -381,16 +397,15 @@ class AsyncServer:
         return (pairs, raw, db.valid)
 
     def _drain(self, inflight_item):
-        from mtn_tpu.decode.beam import detokenize
         pairs, raw, valid = inflight_item
         s = self.session
         try:
             results = s.decoder.beam_results(raw, valid)  # blocks
             for (_, fut), res in zip(pairs, results):
                 if not fut.done():
-                    fut.set_result((detokenize(res.tokens[0], s.vlist,
-                                               s.vocab["<eos>"]),
-                                    res.scores[0]))
+                    fut.set_result(DecodeResult(
+                        [(a, float(sc)) for a, sc in
+                         res.texts(s.vlist, s.vocab["<eos>"])]))
         except BaseException as e:  # surface device errors to callers
             for _, fut in pairs:
                 if not fut.done():

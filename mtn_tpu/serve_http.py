@@ -13,9 +13,14 @@ API (all JSON)::
     POST /v1/respond        {"question": str,
                              "history": [[q, a], ...],      # optional
                              "caption": str,                # optional
-                             "features": {name: value}}     # optional
+                             "features": {name: value},     # optional
+                             "nbest": int}                  # optional
                         ->  {"answer": str, "score": float}
-    POST /v1/respond_batch  {"requests": [<respond body>, ...]}
+                            (+ "nbest": [{"answer", "score"}, ...] when
+                            nbest > 1 — the ranked beam hypotheses, the
+                            serving form of generate.py's n-best logs)
+    POST /v1/respond_batch  {"requests": [<respond body>, ...],
+                             "nbest": int}                  # optional
                         ->  {"results": [{"answer", "score"}, ...]}
     POST /v1/stream         <respond body> (+ optional "style":
                             "greedy"|"sample")
@@ -120,6 +125,26 @@ def _parse_features(obj) -> Dict[str, np.ndarray]:
                 f"feature {name!r}: rank {arr.ndim}, want 2-D (T, D) "
                 "or 3-D (T, R, D)")
         out[name] = np.asarray(arr, dtype=np.float32)
+    return out
+
+
+def parse_nbest(obj) -> int:
+    """Optional 'nbest' field: how many ranked hypotheses to return."""
+    if not isinstance(obj, dict):
+        return 1
+    k = obj.get("nbest", 1)
+    if isinstance(k, bool) or not isinstance(k, int) or k < 1:
+        raise BadRequest("'nbest' must be a positive integer")
+    return k
+
+
+def _result_json(result, k: int) -> dict:
+    answer, score = result
+    out = {"answer": answer, "score": float(score)}
+    if k > 1:
+        ranked = getattr(result, "nbest", [(answer, score)])
+        out["nbest"] = [{"answer": a, "score": float(s)}
+                        for a, s in ranked[:k]]
     return out
 
 
@@ -550,11 +575,13 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             if self.path == "/v1/respond":
                 t0 = time.monotonic()
-                req = parse_request(self._read_json())
-                answer, score = srv.respond_one(req)
+                body = self._read_json()
+                k = parse_nbest(body)
+                req = parse_request(body)
+                result = srv.respond_one(req)
                 srv.latency.observe(time.monotonic() - t0)
                 srv.count()
-                self._send(200, {"answer": answer, "score": float(score)})
+                self._send(200, _result_json(result, k))
             elif self.path == "/admin/reload":
                 self._check_admin()
                 n = int(self.headers.get("Content-Length") or 0)
@@ -600,12 +627,13 @@ class _Handler(BaseHTTPRequestHandler):
                 if not isinstance(raw, list) or not raw:
                     raise BadRequest(
                         "'requests' (non-empty list) is required")
+                k = parse_nbest(body)
                 reqs = [parse_request(r) for r in raw]
                 results = srv.respond_many(reqs)
                 srv.latency.observe(time.monotonic() - t0)
                 srv.count()
-                self._send(200, {"results": [
-                    {"answer": a, "score": float(s)} for a, s in results]})
+                self._send(200, {"results": [_result_json(r, k)
+                                             for r in results]})
             else:
                 self._discard_body()
                 self._send(404, {"error": f"no such path: {self.path}"})

@@ -1,6 +1,7 @@
 """Serving-latency benchmark on a trained checkpoint (real TPU).
 
-Usage: python scripts/bench_serve.py <model_prefix[_best]> [n_iters] [--http]
+Usage: python scripts/bench_serve.py <model_prefix[_best]> [n_iters]
+           [--http] [--stream]
 
 Measures ServingSession end-to-end latency (host encode + upload + beam
 + download) for single interactive turns and a turn_batch-sized burst,
@@ -8,7 +9,10 @@ with the default DecodeConfig (early termination on) and with the fixed
 30-step scan for comparison. With --http, additionally drives the
 stdlib HTTP front-end (serve_http) over real sockets — single-turn p50
 and 64 concurrent clients — to price the network layer vs the direct
-AsyncServer path. Prints one JSON line.
+AsyncServer path. With --stream, measures the token-streaming path:
+time-to-first-token and per-token inter-arrival (each streamed step is
+one device round-trip — the interactive-latency trade the batch
+decoders don't pay). Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -26,8 +30,9 @@ N_ITERS = 20
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--http"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     do_http = "--http" in sys.argv[1:]
+    do_stream = "--stream" in sys.argv[1:]
     model_arg = args[0]
     iters = int(args[1]) if len(args) > 1 else N_ITERS
 
@@ -85,6 +90,32 @@ def main():
     srv.stop()
     out["async64_rps"] = round(64 / sec, 1)
     out["async64_launches"] = srv.launches
+
+    if do_stream:
+        # token streaming: TTFT (prefix program + first step + fetch)
+        # and steady per-token cost (one compiled step + one device
+        # round-trip each). Beam sessions stream greedily.
+        s2 = ServingSession.from_checkpoint(
+            model_arg, DecodeConfig(maxlen=30, beam=5, nbest=5))
+        for _ in s2.stream(make_request(996)):   # compile prefix+step
+            pass
+        ttft, total, ntok = [], [], 0
+        for i in range(iters):
+            t0 = time.time()
+            first = None
+            for _ in s2.stream(make_request(500 + i)):
+                if first is None:
+                    first = time.time() - t0
+                ntok += 1
+            total.append(time.time() - t0)
+            ttft.append(first if first is not None else total[-1])
+        out["stream_ttft_p50_ms"] = round(
+            1e3 * float(np.percentile(ttft, 50)), 1)
+        steps = max(1, ntok - len(ttft))  # exclude each turn's first token
+        out["stream_ms_per_token"] = round(
+            1e3 * (float(np.sum(total)) - float(np.sum(ttft))) / steps, 1)
+        out["stream_total_p50_ms"] = round(
+            1e3 * float(np.percentile(total, 50)), 1)
 
     if do_http:
         # price the HTTP layer: same checkpoint/session class behind the

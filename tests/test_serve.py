@@ -282,3 +282,34 @@ def test_warmup_compiles_decode_programs(served):
     assert isinstance(ans, str)
     # the epoch served is tracked (watcher contract)
     assert session.epoch == 1
+
+
+def test_respond_carries_full_nbest(served):
+    """Results unpack as (answer, score) AND carry the ranked n-best
+    (DecodeResult), equal to the decoder's own BeamResult texts — on
+    both the synchronous and the continuous-batching paths."""
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import AsyncServer, Request, ServingSession
+    prefix, feats = served
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=3, nbest=3,
+                                       turn_batch=2))
+    req = Request(question="is there any sound ?", features=feats)
+    res = session.respond_batch([req])[0]
+    answer, score = res
+    assert res.nbest[0] == (answer, score)
+    assert 1 <= len(res.nbest) <= 3
+    scores = [s for _, s in res.nbest]
+    assert scores == sorted(scores, reverse=True)
+    # the async path resolves futures with the same rich result
+    srv = AsyncServer(session, max_wait_ms=1.0)
+    ares = srv.respond(req, timeout=300)
+    srv.stop()
+    assert ares == (answer, score)
+    assert ares.nbest == res.nbest
+    # greedy sessions: a single hypothesis
+    g = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, decode_style="greedy",
+                                       turn_batch=2))
+    gres = g.respond_batch([req])[0]
+    assert gres.nbest == [tuple(gres)]

@@ -466,3 +466,75 @@ def test_checkpoint_watcher_hot_reloads(served, tmp_path):
         stop.set()
     finally:
         srv.close()
+
+
+def test_respond_nbest_over_http(http_server):
+    """'nbest': k returns the ranked hypotheses; invalid k is a 400."""
+    srv, base, _ = http_server
+    code, out = _post(base + "/v1/respond",
+                      {"question": "is there any sound ?", "nbest": 2})
+    assert code == 200
+    assert out["nbest"][0] == {"answer": out["answer"],
+                               "score": out["score"]}
+    assert 1 <= len(out["nbest"]) <= 2
+    # without nbest (or nbest=1) the field is absent — wire-compatible
+    code, plain = _post(base + "/v1/respond",
+                        {"question": "is there any sound ?"})
+    assert "nbest" not in plain
+    # batch form takes a top-level nbest
+    code, bout = _post(base + "/v1/respond_batch",
+                       {"requests": [{"question": "is it raining ?"}],
+                        "nbest": 2})
+    assert code == 200 and "nbest" in bout["results"][0]
+    try:
+        _post(base + "/v1/respond", {"question": "x", "nbest": 0})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_http_cli_main_end_to_end(served):
+    """python -m mtn_tpu.serve_http boots from a checkpoint with
+    --warmup, announces its address, serves, and exits 0 on SIGINT —
+    the deployment surface as a real process."""
+    import os
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    prefix, feats = served
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "mtn_tpu.serve_http",
+         "--model", prefix + "_best", "--host", "127.0.0.1", "--port", "0",
+         "--beam", "2", "--nbest", "2", "--maxlen", "6",
+         "--turn-batch", "2", "--warmup", "--max-queue", "64"],
+        cwd=root, stderr=subprocess.PIPE, text=True)
+    base = None
+    try:
+        deadline = time.time() + 600
+        warmed = False
+        for line in proc.stderr:
+            warmed |= "warmup" in line
+            m = re.search(r"serving .* on (http://[0-9.]+:[0-9]+)", line)
+            if m:
+                base = m.group(1)
+                break
+            assert time.time() < deadline, "server never announced"
+        assert base, "server exited before announcing its address"
+        assert warmed, "--warmup did not run before the socket opened"
+        code, out = _post(base + "/v1/respond",
+                          {"question": "is there any sound ?", "nbest": 2})
+        assert code == 200 and isinstance(out["answer"], str)
+        assert len(out["nbest"]) >= 1
+        assert _get(base + "/healthz") == (200, {"ok": True})
+    finally:
+        proc.send_signal(signal.SIGINT)
+        try:
+            rc = proc.wait(timeout=120)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            raise
+    assert rc == 0
