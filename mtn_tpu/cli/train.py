@@ -76,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "per N batches (exact one-big-batch math, one "
                              "microbatch of activation memory; requires "
                              "--uniform-shapes 1)")
+    parser.add_argument("--grad-clip", default=0.0, type=float,
+                        help="> 0: clip gradients to this global L2 norm "
+                             "before Adam (changes the opt_state structure; "
+                             "resume only from checkpoints saved with the "
+                             "same setting)")
+    parser.add_argument("--patience", default=0, type=int,
+                        help="> 0: stop after this many epochs without a "
+                             "new best validation loss")
     parser.add_argument("--uniform-shapes", default=0, type=int,
                         help="pad every batch to the dataset's global "
                              "maxima: ONE compiled train step (more padding "
@@ -200,7 +208,8 @@ def main(argv=None):
         warmup_steps=args.warmup_steps, loss_l=args.loss_l,
         rand_seed=args.rand_seed, report_interval=report_every,
         model=args.model, keep_checkpoints=args.keep_checkpoints,
-        accum_steps=args.accum_steps)
+        accum_steps=args.accum_steps, grad_clip=args.grad_clip,
+        patience=args.patience)
 
     mesh, shardings = make_mesh_from_args(args, batch_size=args.batch_size)
     trainer = Trainer(model_cfg, train_cfg, mesh=mesh, shardings=shardings,
@@ -247,6 +256,8 @@ def main(argv=None):
     logging.info("----------------")
     min_valid_loss = float("inf")
     bestmodel_num = 0
+    from mtn_tpu.train.trainer import EarlyStopper
+    stopper = EarlyStopper(args.patience)
     base_rng = jax.random.PRNGKey(args.rand_seed + 1)
     with profiling.trace(args.profile_dir):
         for epoch in range(start_epoch, args.num_epochs):
@@ -295,6 +306,13 @@ def main(argv=None):
                              min_valid_loss, valid_loss)
                 min_valid_loss = valid_loss
                 bestmodel_num = epoch + 1
+            if stopper.update(valid_loss):
+                logging.info(
+                    "early stopping: no validation improvement in %d "
+                    "epochs (best %.4f at epoch %d)", args.patience,
+                    min_valid_loss, bestmodel_num)
+                logging.info("----------------")
+                break
             logging.info("----------------")
     logging.info("the best model is epoch %d.", bestmodel_num)
     return 0

@@ -110,6 +110,13 @@ class TrainConfig:
     # the update equals the one-big-batch update exactly (macro-batch
     # token-count normalizers), with one microbatch of activation memory
     accum_steps: int = 1
+    # > 0: clip gradients to this global L2 norm before Adam (the
+    # reference never clips; default off preserves its update math and
+    # the opt_state checkpoint structure)
+    grad_clip: float = 0.0
+    # > 0: stop training after this many epochs without a new best
+    # validation loss (the reference always runs num_epochs)
+    patience: int = 0
 
 
 @dataclass

@@ -25,7 +25,19 @@ def noam_schedule(d_model: int, warmup: int, factor: float = 1.0):
     return schedule
 
 
-def make_optimizer(d_model: int, warmup: int, factor: float = 1.0
-                   ) -> optax.GradientTransformation:
-    return optax.adam(learning_rate=noam_schedule(d_model, warmup, factor),
+def make_optimizer(d_model: int, warmup: int, factor: float = 1.0,
+                   grad_clip: float = 0.0) -> optax.GradientTransformation:
+    """Noam/Adam, optionally preceded by global-norm gradient clipping.
+
+    ``grad_clip <= 0`` (the default, and the reference's behavior — it
+    never clips) returns the plain Adam transformation, so the
+    ``opt_state`` pytree structure of existing checkpoints is unchanged.
+    With clipping on, the optimizer is an ``optax.chain`` and its state
+    gains the chain tuple — checkpoints are compatible only within the
+    same setting.
+    """
+    adam = optax.adam(learning_rate=noam_schedule(d_model, warmup, factor),
                       b1=0.9, b2=0.98, eps=1e-9)
+    if grad_clip and grad_clip > 0:
+        return optax.chain(optax.clip_by_global_norm(grad_clip), adam)
+    return adam

@@ -32,6 +32,27 @@ class TrainState:
     step: jnp.ndarray  # scalar int32
 
 
+class EarlyStopper:
+    """Patience-based early stopping on validation loss (strict
+    improvement, matching the best-pointer rule in utils/checkpoint.py:
+    ties do NOT reset patience). The reference always runs its full
+    ``num_epochs`` (train.py:192); ``patience <= 0`` reproduces that."""
+
+    def __init__(self, patience: int):
+        self.patience = patience
+        self.best = float("inf")
+        self.bad_epochs = 0
+
+    def update(self, val_loss: float) -> bool:
+        """Record one epoch's validation loss; True => stop now."""
+        if val_loss < self.best:
+            self.best = val_loss
+            self.bad_epochs = 0
+            return False
+        self.bad_epochs += 1
+        return self.patience > 0 and self.bad_epochs >= self.patience
+
+
 class Trainer:
     def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
                  pad: int = SPECIALS[BLANK], mesh=None, shardings=None,
@@ -44,7 +65,8 @@ class Trainer:
         self.shardings = shardings
         self.feature_dtype = feature_dtype
         self.optimizer = make_optimizer(model_cfg.d_model,
-                                        train_cfg.warmup_steps)
+                                        train_cfg.warmup_steps,
+                                        grad_clip=train_cfg.grad_clip)
         self._train_step = None
         self._eval_step = None
         self._accum_step = None

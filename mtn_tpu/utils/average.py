@@ -73,17 +73,17 @@ def average_checkpoints(model_prefix: str, epochs_spec: Sequence[str],
     abstract = trainer.init_state(jax.random.PRNGKey(0), sample)
 
     acc = None
-    newest_state = None
     for e in sorted(epochs):
-        state, _ = ckpt.restore(abstract, e)
-        newest_state = state
-        p32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
-                           state.params)
+        # params-only restore: works whatever optimizer structure the
+        # source run used (e.g. --grad-clip); the averaged artifact is
+        # a servable checkpoint, so it ships a fresh opt_state
+        params, _ = ckpt.restore_params(abstract, e)
+        p32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
         acc = p32 if acc is None else jax.tree.map(jnp.add, acc, p32)
     mean = jax.tree.map(lambda s: s / len(epochs), acc)
     avg_params = jax.tree.map(lambda m, ref: jnp.asarray(m, ref.dtype),
-                              mean, newest_state.params)
-    out_state = newest_state.replace(params=avg_params)
+                              mean, abstract.params)
+    out_state = abstract.replace(params=avg_params)
 
     out = CheckpointManager(out_prefix)
     out.save_conf(vocab, **{name: conf[name] for name in conf})

@@ -164,5 +164,30 @@ class CheckpointManager:
         return state, epoch
 
     def restore_params(self, abstract_state: TrainState, epoch="best"):
-        state, ep = self.restore(abstract_state, epoch)
-        return state.params, ep
+        """Params-only restore (decode/serving/export/averaging).
+
+        Restores just the ``params`` subtree via an orbax partial
+        restore, so it works regardless of the opt_state structure the
+        checkpoint was trained with (e.g. ``--grad-clip`` chains the
+        optimizer and changes that structure) — consumers of weights
+        never need the training hyperparameters. Full-state ``restore``
+        above (train resume) still requires the matching optimizer.
+        """
+        if epoch == "best":
+            epoch = self.best_epoch()
+        elif epoch == "latest":
+            epoch = self.latest_epoch()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoint under {self.dir}")
+        target = {"params": jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                         abstract_state.params)}
+        restored = ocp.PyTreeCheckpointer().restore(
+            self._epoch_dir(epoch),
+            args=ocp.args.PyTreeRestore(
+                item=target,
+                # shardings come from the target (the caller's mesh),
+                # not the sharding file the run was saved with
+                restore_args=ocp.checkpoint_utils.construct_restore_args(
+                    target),
+                partial_restore=True))
+        return restored["params"], epoch

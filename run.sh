@@ -69,6 +69,9 @@ accum_steps=1           # >1: gradient accumulation (one optimizer update
                         # per N batches; requires uniform_shapes_train=1)
 remat=0                 # 1: rematerialize decoder layers in backward
                         # (activation memory ~ one layer; extra FLOPs)
+grad_clip=0.0           # >0: clip gradients to this global L2 norm
+patience=0              # >0: early-stop after N epochs without a new
+                        # best validation loss
 uniform_shapes_decode=1 # 1: single compiled beam program (pad to maxima)
 early_stop=1            # beam loop exits once n-bests provably fixed
                         # (output-identical, 1.32x measured; 0 = full scan)
@@ -162,7 +165,9 @@ if [ $stage -le 2 ]; then
       --feature-transfer "${feature_transfer}" \
       --uniform-shapes ${uniform_shapes_train} \
       --accum-steps ${accum_steps} \
-      --remat ${remat}
+      --remat ${remat} \
+      --grad-clip ${grad_clip} \
+      --patience ${patience}
 fi
 
 # testing phase

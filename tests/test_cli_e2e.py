@@ -102,6 +102,11 @@ def test_generate_and_evaluate(trained, tmp_path):
     scores = score_files(ref_path, hyp_path, print_scores=False)
     for k in ("Bleu_1", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr"):
         assert k in scores and np.isfinite(scores[k])
+    # CLI score --json: machine-readable sidecar matches the scorer
+    json_path = str(tmp_path / "scores.json")
+    assert eval_main(["score", "--json", json_path, ref_path,
+                      hyp_path]) == 0
+    assert json.load(open(json_path)) == pytest.approx(scores)
 
 
 def test_generate_under_mesh_matches_single_device(trained, tmp_path):
@@ -382,3 +387,49 @@ def test_run_sh_stage4_falls_back_to_shipped_eval_spelling(tmp_path):
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "using shipped spelling" in proc.stdout
     assert "Bleu_1: 1.000" in proc.stdout
+
+
+def test_grad_clip_and_patience_cli(tiny_corpus, tmp_path):
+    """--grad-clip/--patience wiring: the clipped optimizer trains end to
+    end and a patience run always ends in a consistent state (epochs
+    recorded == trace rows, whether or not the stop fires; the stopping
+    rule itself is unit-tested in test_ops_and_loss.py)."""
+    prefix = str(tmp_path / "mtn_clip")
+    from mtn_tpu.cli.train import main as train_main
+    rc = train_main([
+        "--fea-type", "none",
+        "--train-set", tiny_corpus.train_set,
+        "--valid-set", tiny_corpus.valid_set,
+        "--include-caption", "caption,summary",
+        "--separate-caption", "1",
+        "--num-epochs", "4", "--batch-size", "4", "--max-length", "64",
+        "--model", prefix, "--nb-blocks", "1", "--d-model", "16",
+        "--d-ff", "32", "--att-h", "2", "--warmup-steps", "1",
+        "--diff-encoder", "0", "--auto-encoder-ft", "query",
+        "--vocab-cutoff", "0", "--dtype", "float32",
+        "--length-bucket", "8",
+        "--grad-clip", "0.5", "--patience", "1",
+    ])
+    assert rc == 0
+    params_txt = open(prefix + "_params.txt").read()
+    assert "grad_clip" in params_txt and "patience" in params_txt
+    meta = json.load(open(os.path.join(prefix + "_ckpt", "meta.json")))
+    n_epochs = len(meta["epochs"])
+    assert 1 <= n_epochs <= 4
+    trace = open(prefix + "_trace.csv").read().splitlines()
+    # header + (train + val) per completed epoch, stopped or not
+    assert len(trace) == 1 + 2 * n_epochs
+    # decode must restore params from the clipped-optimizer checkpoint:
+    # restore_params is a partial (params-only) restore, independent of
+    # the opt_state structure the run trained with
+    result_path = str(tmp_path / "res_clip.json")
+    from mtn_tpu.cli.generate import main as gen_main
+    rc = gen_main([
+        "--test-set", tiny_corpus.test_set,
+        "--model", prefix + "_best",
+        "--maxlen", "4", "--beam", "2", "--nbest", "1",
+        "--output", result_path,
+        "--undisclosed-only", "1",
+        "--turn-batch", "4", "--dtype", "float32",
+    ])
+    assert rc == 0 and os.path.exists(result_path)

@@ -113,3 +113,58 @@ def test_noam_rate_closed_form():
     # warmup peak at step == warmup
     rates = [float(noam_rate(s, d, w)) for s in (3999, 4000, 4001)]
     assert rates[1] >= rates[0] and rates[1] >= rates[2]
+
+
+def test_grad_clip_optimizer():
+    """make_optimizer(grad_clip=c): updates equal plain Adam applied to
+    grads rescaled to global norm c; clip off (or above the norm) is
+    bit-identical to the unclipped optimizer (and keeps its opt_state
+    structure, so default-run checkpoints are unaffected)."""
+    import jax
+    from mtn_tpu.train.schedule import make_optimizer
+
+    params = {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,))}
+    grads = {"w": jnp.full((3, 2), 4.0), "b": jnp.full((2,), 3.0)}
+    gnorm = float(jnp.sqrt(sum(jnp.sum(g * g) for g in
+                               jax.tree.leaves(grads))))
+    plain = make_optimizer(512, 4000)
+    clipped = make_optimizer(512, 4000, grad_clip=1.0)
+
+    # state structure: plain stays the optax.adam tuple
+    s_plain = plain.init(params)
+    s_clip = clipped.init(params)
+    assert jax.tree.structure(s_plain) != jax.tree.structure(s_clip)
+
+    u_clip, _ = clipped.update(grads, s_clip, params)
+    scaled = jax.tree.map(lambda g: g / gnorm, grads)  # norm 4 -> 1
+    u_want, _ = plain.update(scaled, plain.init(params), params)
+    for a, b in zip(jax.tree.leaves(u_clip), jax.tree.leaves(u_want)):
+        assert jnp.allclose(a, b, rtol=1e-6)
+
+    # clip above the actual norm: identical to no clipping at all
+    loose = make_optimizer(512, 4000, grad_clip=100.0)
+    u_loose, _ = loose.update(grads, loose.init(params), params)
+    u_plain, _ = plain.update(grads, plain.init(params), params)
+    for a, b in zip(jax.tree.leaves(u_loose), jax.tree.leaves(u_plain)):
+        assert jnp.array_equal(a, b)
+
+
+def test_early_stopper():
+    from mtn_tpu.train.trainer import EarlyStopper
+
+    # patience 2: stops after two consecutive non-improving epochs
+    s = EarlyStopper(2)
+    assert not s.update(3.0)
+    assert not s.update(2.0)       # improved
+    assert not s.update(2.5)       # 1 bad
+    assert s.update(2.1)           # 2 bad -> stop
+    # an improvement resets the counter; ties do NOT count as improvement
+    s = EarlyStopper(2)
+    assert not s.update(2.0)
+    assert not s.update(2.5)       # 1 bad
+    assert not s.update(1.9)       # reset
+    assert not s.update(1.9)       # tie -> 1 bad
+    assert s.update(1.9)           # 2 bad -> stop
+    # patience 0 never stops (reference behavior: full num_epochs)
+    s = EarlyStopper(0)
+    assert not any(s.update(v) for v in (3.0, 4.0, 5.0, 6.0))
