@@ -135,6 +135,11 @@ def load_features(registry: FeatureRegistry, vids: Sequence[str],
     (data_handler.py:236, data_utils.py:29-30); here padding is zeros and
     masking is explicit via ``fts_len`` — an intentional, documented fix
     (a genuine all-ones frame is no longer masked out).
+
+    Repeated videos in one batch (training batches routinely pack several
+    turns of the same dialog; the reference re-reads the file per example,
+    data_handler.py:233) are read from disk once and scattered to their
+    rows — output-identical, host-I/O-proportional to *unique* videos.
     """
     native = _get_native() if use_native else None
     B = len(vids)
@@ -150,21 +155,33 @@ def load_features(registry: FeatureRegistry, vids: Sequence[str],
             # take the native path; dtypes/layouts it cannot parse
             # (f16/int/fortran-order) fall back to numpy below
             try:
-                arr, ln = native.load_batch(paths, int(max_frames[i]), s)
+                uniq = list(dict.fromkeys(paths))
+                if len(uniq) < len(paths):
+                    uarr, uln = native.load_batch(uniq, int(max_frames[i]), s)
+                    pos = {p: k for k, p in enumerate(uniq)}
+                    inv = np.array([pos[p] for p in paths])
+                    arr, ln = uarr[inv], uln[inv]
+                else:
+                    arr, ln = native.load_batch(paths, int(max_frames[i]), s)
             except (IOError, OSError):
                 arr = ln = None
         if arr is None:
             # frame skip applies to the time axis; 3-D (T, R, D) arrays
             # then flatten regions into frames (FeatureRegistry note)
+            cache: dict = {}
+
             def _read(p):
-                a = _load_npy(p)[::s]
-                return a.reshape(-1, a.shape[-1]) if a.ndim == 3 else a
-            first = _read(paths[0])
-            D = first.shape[-1]
+                a = cache.get(p)
+                if a is None:
+                    a = _load_npy(p)[::s]
+                    a = a.reshape(-1, a.shape[-1]) if a.ndim == 3 else a
+                    cache[p] = a
+                return a
+            D = _read(paths[0]).shape[-1]
             arr = np.zeros((B, int(max_frames[i]), D), dtype=np.float32)
             ln = np.zeros((B,), dtype=np.int32)
             for j, p in enumerate(paths):
-                a = first if j == 0 else _read(p)
+                a = _read(p)
                 n = min(a.shape[0], arr.shape[1])
                 arr[j, :n] = a[:n]
                 ln[j] = n

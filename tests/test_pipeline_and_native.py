@@ -349,3 +349,33 @@ def test_int8_feature_transfer_close_and_decodes(ds):
     dec = BeamDecoder(cfg, DecodeConfig(maxlen=3, beam=2, nbest=1))
     res = dec.beam_batch(st.params, db_q)
     assert len(res) == int(np.asarray(db_q.valid).sum())
+
+
+def test_load_features_dedups_repeated_vids(ds, monkeypatch):
+    """A batch with repeated videos (same-dialog turns) reads each file
+    once and scatters — rows must be identical to the naive per-row
+    load, on both the native and numpy paths."""
+    from mtn_tpu.data import features as F
+    vids = list(dict.fromkeys(t.vid for t in ds.turns))[:2]
+    assert len(vids) == 2
+    dup = [vids[0], vids[1], vids[0], vids[0]]
+    want = F.load_features(ds.features, dup, [16, 16], [1, 1],
+                           use_native=False)
+
+    reads = []
+    orig = F._load_npy
+    monkeypatch.setattr(F, "_load_npy",
+                        lambda p: (reads.append(p), orig(p))[1])
+    got_py = F.load_features(ds.features, dup, [16, 16], [1, 1],
+                             use_native=False)
+    # 2 streams x 2 unique videos, NOT x 4 rows
+    assert len(reads) == 4
+    for a, b in zip(want[0] + want[1], got_py[0] + got_py[1]):
+        np.testing.assert_array_equal(a, b)
+
+    from mtn_tpu.data import native_loader as nl
+    if nl.available():
+        got_nat = F.load_features(ds.features, dup, [16, 16], [1, 1],
+                                  use_native=True)
+        for a, b in zip(want[0] + want[1], got_nat[0] + got_nat[1]):
+            np.testing.assert_array_equal(a, b)
