@@ -29,6 +29,10 @@ def build_parser():
     hyp.add_argument("hypout_file")
 
     sc = sub.add_parser("score", help="score references vs hypotheses")
+    sc.add_argument("--json", default="", type=str,
+                    help="also write the scores as JSON to this path "
+                         "(machine-readable; the printed block stays "
+                         "reference-format for run.sh's awk extract)")
     sc.add_argument("reference")
     sc.add_argument("hypothesis")
     return p
@@ -53,7 +57,11 @@ def main(argv=None):
         with open(args.hypout_file, "w") as f:
             json.dump(out, f, indent=4)
     elif args.cmd == "score":
-        score_files(args.reference, args.hypothesis, print_scores=True)
+        scores = score_files(args.reference, args.hypothesis,
+                             print_scores=True)
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(scores, f, indent=2)
     return 0
 
 

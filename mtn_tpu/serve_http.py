@@ -332,6 +332,9 @@ class MTNServer(ThreadingHTTPServer):
             "uptime_s": round(time.time() - self._t0, 3),
             "decode_style": self.session.decode_cfg.decode_style,
             "turn_batch": self.session.decode_cfg.turn_batch,
+            # which weights are live (reload/watcher swaps show up here)
+            "model": getattr(self.session, "model_arg", None),
+            "epoch": self.session.epoch,
             "latency": self.latency.summary(),
         }
 

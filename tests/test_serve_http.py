@@ -50,6 +50,8 @@ def test_healthz_and_stats(http_server):
     assert stats["decode_style"] == "beam_search"
     assert stats["turn_batch"] == 4
     assert stats["uptime_s"] >= 0
+    # live-weights identity (reload/watcher swaps surface here)
+    assert "model" in stats and "epoch" in stats
 
 
 def test_respond_over_http(http_server):
