@@ -238,8 +238,9 @@ if [ $stage -le 4 ]; then
         echo Evaluating: $result
         python -m mtn_tpu.cli.evaluate annotation -s data/stopwords.txt $data_set $reference
         python -m mtn_tpu.cli.evaluate hypotheses -s data/stopwords.txt $result $hypothesis
-        python -m mtn_tpu.cli.evaluate score $reference $hypothesis > $result_eval
-        echo Wrote details in $result_eval
+        python -m mtn_tpu.cli.evaluate score --json ${result_eval}.json \
+            $reference $hypothesis > $result_eval
+        echo Wrote details in $result_eval "(+ ${result_eval}.json)"
         echo "--- summary ---"
         awk '/^(Bleu_[1-4]|METEOR|ROUGE_L|CIDEr):/{print $0; if($1=="CIDEr:"){exit}}' \
             $result_eval
