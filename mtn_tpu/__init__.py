@@ -24,6 +24,11 @@ capability surface of the MTN reference (henryhungle/MTN, ACL'19):
 - ``mtn_tpu.utils``       — Orbax checkpointing, CSV/metric logging, profiling.
 - ``mtn_tpu.cli``         — `train` / `generate` entry points with the
                             reference's flag surface (run.sh stage CLI parity).
+- ``mtn_tpu.serve``       — interactive sessions + continuous-batching
+                            ``AsyncServer`` over the cached decoder;
+                            ``mtn_tpu.serve_http`` is the stdlib HTTP
+                            front-end (SSE streaming, hot-reload, drain,
+                            Prometheus metrics — docs/SERVING.md).
 """
 
 __version__ = "0.1.0"
