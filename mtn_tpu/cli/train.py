@@ -258,6 +258,13 @@ def main(argv=None):
     bestmodel_num = 0
     from mtn_tpu.train.trainer import EarlyStopper
     stopper = EarlyStopper(args.patience)
+    if resume:
+        # continue best/patience accounting across the restart (the
+        # persisted best pointer in meta.json is the source of truth)
+        stopper.seed_from_meta(ckpt._meta(), start_epoch)
+        if stopper.best < min_valid_loss:
+            min_valid_loss = stopper.best
+            bestmodel_num = int(ckpt._meta().get("best_epoch") or 0)
     base_rng = jax.random.PRNGKey(args.rand_seed + 1)
     with profiling.trace(args.profile_dir):
         for epoch in range(start_epoch, args.num_epochs):

@@ -83,6 +83,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -332,8 +333,11 @@ class MTNServer(ThreadingHTTPServer):
             "uptime_s": round(time.time() - self._t0, 3),
             "decode_style": self.session.decode_cfg.decode_style,
             "turn_batch": self.session.decode_cfg.turn_batch,
-            # which weights are live (reload/watcher swaps show up here)
-            "model": getattr(self.session, "model_arg", None),
+            # which weights are live (reload/watcher swaps show up
+            # here); basename only — /stats is unauthenticated, so the
+            # server's directory layout must not leak to clients
+            "model": (os.path.basename(self.session.model_arg)
+                      if getattr(self.session, "model_arg", None) else None),
             "epoch": self.session.epoch,
             "latency": self.latency.summary(),
         }

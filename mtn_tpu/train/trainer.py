@@ -52,6 +52,21 @@ class EarlyStopper:
         self.bad_epochs += 1
         return self.patience > 0 and self.bad_epochs >= self.patience
 
+    def seed_from_meta(self, meta: dict, start_epoch: int) -> None:
+        """Continue best/patience accounting across a --resume restart.
+
+        The checkpoint's meta.json best pointer is the source of truth;
+        without this, a resumed run restarts the patience window at zero
+        and its in-memory best disagrees with the persisted best, so
+        --patience N could allow more than N non-improving epochs total.
+        """
+        if meta.get("best_loss") is None:
+            return
+        self.best = float(meta["best_loss"])
+        best_epoch = int(meta.get("best_epoch") or 0)
+        done = [e for e in meta.get("epochs", []) if e <= start_epoch]
+        self.bad_epochs = sum(1 for e in done if e > best_epoch)
+
 
 class Trainer:
     def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,

@@ -13,9 +13,11 @@ downstream surface (generate CLI, serving, export) takes it unchanged::
     python generate.py --model exps/x/mtn-avg_best ...
 
 Only parameters are averaged (in float32, cast back to the stored
-dtypes). The optimizer state and step are copied from the newest
-constituent epoch: an averaged checkpoint is an eval/serving artifact,
-and resuming *training* from it resumes from that newest state.
+dtypes). The written checkpoint ships a FRESH optimizer state and
+step 0 (built from the sidecar config, not restored): an averaged
+checkpoint is an eval/serving artifact. Resuming *training* from it
+restarts the Noam schedule from step 0 — do not use it as a training
+resume point.
 """
 
 from __future__ import annotations

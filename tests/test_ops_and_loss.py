@@ -168,3 +168,29 @@ def test_early_stopper():
     # patience 0 never stops (reference behavior: full num_epochs)
     s = EarlyStopper(0)
     assert not any(s.update(v) for v in (3.0, 4.0, 5.0, 6.0))
+
+
+def test_early_stopper_seed_from_meta():
+    """--resume continuity: patience counting picks up from the
+    checkpoint's persisted best pointer instead of restarting at zero."""
+    from mtn_tpu.train.trainer import EarlyStopper
+
+    meta = {"best_loss": 2.0, "best_epoch": 2, "epochs": [1, 2, 3, 4]}
+    s = EarlyStopper(3)
+    s.seed_from_meta(meta, start_epoch=4)  # epochs 3,4 were non-improving
+    assert s.best == 2.0 and s.bad_epochs == 2
+    assert s.update(2.3)                   # 3rd bad epoch -> stop
+
+    # resuming from the best epoch itself: no bad epochs yet
+    s = EarlyStopper(3)
+    s.seed_from_meta(meta, start_epoch=2)
+    assert s.bad_epochs == 0
+    # a fresh run (no best recorded) is untouched
+    s = EarlyStopper(3)
+    s.seed_from_meta({}, start_epoch=0)
+    assert s.best == float("inf") and s.bad_epochs == 0
+    # an improvement after resume still resets and tracks the new best
+    s = EarlyStopper(2)
+    s.seed_from_meta(meta, start_epoch=4)
+    assert not s.update(1.5)
+    assert s.best == 1.5 and s.bad_epochs == 0

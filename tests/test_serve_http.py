@@ -50,8 +50,12 @@ def test_healthz_and_stats(http_server):
     assert stats["decode_style"] == "beam_search"
     assert stats["turn_batch"] == 4
     assert stats["uptime_s"] >= 0
-    # live-weights identity (reload/watcher swaps surface here)
+    # live-weights identity (reload/watcher swaps surface here);
+    # basename only — the unauthenticated endpoint must not leak the
+    # server's directory layout
     assert "model" in stats and "epoch" in stats
+    if stats["model"]:
+        assert "/" not in stats["model"]
 
 
 def test_respond_over_http(http_server):
