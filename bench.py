@@ -27,11 +27,21 @@ not MXU-bound) — docs/BENCH.md gives the roofline argument.
 
 Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline", "rps_fixed_maxlen",
+ "rps_early_stop_upper_bound", "early_stop_steps",
  "train_tokens_per_sec", "train_steps_per_sec", "mfu_train",
  "mfu_decode"}. "value" is the shipped default (early-stop beam,
-output-identical to the fixed scan); "rps_fixed_maxlen" is the fixed
-30-step program for cross-round comparability, and decode MFU is
-computed from it (its flop count is well-defined).
+output-identical to the fixed scan) measured on *trained-model-
+representative* params: random init converges unrealistically early
+(~13/30 steps — an upper bound, reported separately as
+"rps_early_stop_upper_bound"), so the generator logits are calibrated
+(one scalar temperature on the output projection, bisected on-device)
+until the early-stop loop exits at the mean step count measured on an
+actually-trained checkpoint (21.8/30, scripts/bench_early_stop.py,
+docs/BENCH.md "Early termination"). "early_stop_steps" records the
+step count the headline run actually executed so the calibration is
+auditable. "rps_fixed_maxlen" is the fixed 30-step program for
+cross-round comparability, and decode MFU is computed from it (its
+flop count is well-defined).
 """
 
 from __future__ import annotations
@@ -54,6 +64,12 @@ PROXY_TURNS = 3        # timed turns for the reference-style proxy
 PROXY_STEPS = 16       # proxy steps actually timed (extrapolated to MAXLEN)
 TRAIN_BATCH = 32       # run.sh default batch size
 TRAIN_STEPS = 12       # timed train steps
+# Early-stop exit point of a *trained* flagship checkpoint (mean steps of
+# 30, measured by scripts/bench_early_stop.py on the committed-scale
+# trained run — docs/BENCH.md "Early termination"). The headline decode
+# is calibrated to converge here, not at the random-init point.
+TRAINED_MEAN_STEPS = 21.8
+CALIB_TOL = 0.75       # accept calibration within this many steps
 
 # bf16 peak of one chip, by device_kind prefix (jax.devices()[0]).
 # Ordered: libtpu reports v5e as "TPU v5 lite" but v5p as plain "TPU v5",
@@ -128,21 +144,70 @@ def main():
             lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
             else x, db_i))
 
-    def time_beam(early_stop):
+    def build_beam(early_stop):
         dec = BeamDecoder(cfg, DecodeConfig(maxlen=MAXLEN, beam=BEAM,
                                             nbest=NBEST,
                                             early_stop=early_stop))
-        compiled = dec._build_beam().lower(params, db).compile()
-        _ = [np.asarray(x) for x in compiled(params, db)]   # warmup
-        t0 = time.time()
-        outs = [compiled(params, db_i) for db_i in batches]
-        _ = [np.asarray(o[0]) for o in outs]      # drain the pipeline
-        sec = time.time() - t0
-        return TURN_BATCH * N_BATCHES / sec, sec, _flops_of(compiled)
+        return dec._build_beam().lower(params, db).compile()
 
-    fixed_rps, fixed_sec, beam_flops = time_beam(False)
-    ours_rps, _, _ = time_beam(True)              # the shipped default
-    mfu_decode = beam_flops * N_BATCHES / fixed_sec / peak
+    def time_compiled(compiled, p):
+        """Time N_BATCHES dispatches; returns (rps, sec, mean exit step).
+        Params are a runtime argument, so one executable serves every
+        calibration point."""
+        _ = [np.asarray(x) for x in compiled(p, db)]   # warmup this p
+        t0 = time.time()
+        outs = [compiled(p, db_i) for db_i in batches]
+        steps = [float(np.asarray(o[3])) for o in outs]  # forces completion
+        sec = time.time() - t0
+        return TURN_BATCH * N_BATCHES / sec, sec, float(np.mean(steps))
+
+    fixed_c = build_beam(False)
+    es_c = build_beam(True)
+    fixed_rps, fixed_sec, _ = time_compiled(fixed_c, params)
+    mfu_decode = _flops_of(fixed_c) * N_BATCHES / fixed_sec / peak
+
+    # Random-init params converge unrealistically early — report that
+    # figure as the labelled upper bound it is, never as the headline.
+    ub_rps, _, ub_steps = time_compiled(es_c, params)
+
+    # -- calibrate the logit peakedness to the trained exit point ---------
+    # One scalar s on the output projection (logits -> s*logits before
+    # log_softmax): s=1 is random init (~13/30 exit), s→∞ pins the top
+    # continuation at logp≈0 so the early-stop bound never closes (30/30).
+    # Bisect s until the measured exit step matches the trained
+    # checkpoint's 21.8/30 (scripts/bench_early_stop.py).
+    def _peaked(s):
+        proj = {k: v * s for k, v in params["generator"]["proj"].items()}
+        new = dict(params)
+        new["generator"] = dict(params["generator"], proj=proj)
+        return new
+
+    def exit_steps(p):
+        # mean over a spread of the actual timed batches (convergence
+        # shifts a step or two with the input), so the calibration
+        # target matches what time_compiled later measures
+        probes = batches[::3]
+        outs = [es_c(p, b) for b in probes]
+        return float(np.mean([np.asarray(o[3]) for o in outs]))
+
+    best_s, best_err = 1.0, abs(ub_steps - TRAINED_MEAN_STEPS)
+    if ub_steps < TRAINED_MEAN_STEPS - CALIB_TOL:
+        lo, hi = 1.0, 2.0
+        while exit_steps(_peaked(hi)) < TRAINED_MEAN_STEPS and hi < 64.0:
+            lo, hi = hi, hi * 2.0
+        for _ in range(10):
+            mid = 0.5 * (lo + hi)
+            st = exit_steps(_peaked(mid))
+            if abs(st - TRAINED_MEAN_STEPS) < best_err:
+                best_s, best_err = mid, abs(st - TRAINED_MEAN_STEPS)
+            if best_err <= CALIB_TOL:
+                break
+            if st < TRAINED_MEAN_STEPS:
+                lo = mid
+            else:
+                hi = mid
+    calib_params = _peaked(best_s) if best_s != 1.0 else params
+    ours_rps, _, es_steps = time_compiled(es_c, calib_params)
 
     # ---- train step: throughput + MFU ------------------------------------
     from mtn_tpu.train.trainer import Trainer
@@ -211,6 +276,8 @@ def main():
         "unit": "responses/sec",
         "vs_baseline": round(ours_rps / proxy_rps, 2),
         "rps_fixed_maxlen": round(fixed_rps, 3),
+        "rps_early_stop_upper_bound": round(ub_rps, 3),
+        "early_stop_steps": round(es_steps, 1),
         "train_tokens_per_sec": round(train_tokens_per_sec, 1),
         "train_steps_per_sec": round(steps_per_sec, 2),
         "mfu_train": round(mfu_train, 4),

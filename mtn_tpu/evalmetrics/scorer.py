@@ -3,7 +3,8 @@
 Prints ``Bleu_1..4, METEOR, ROUGE_L, CIDEr`` in the pycocoevalcap order
 and format (``metric: %.3f``). SPICE is excluded exactly as the
 reference's coco-caption.patch disables it (utils/coco-caption.patch:1-11).
-METEOR is the pure-Python approximation (see evalmetrics/meteor.py).
+METEOR is the pure-Python METEOR-1.5 ``en`` reimplementation (see
+evalmetrics/meteor.py for the remaining resource-bound jar deltas).
 """
 
 from __future__ import annotations

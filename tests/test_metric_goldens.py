@@ -17,10 +17,14 @@ coco-caption dirs are empty clone stubs), so the goldens here are:
   ORIGINAL_ALGORITHM mode (the classic 1980 paper our stem.py follows).
 
 METEOR caveat (docs/PARITY.md C14): the reference jar is METEOR 1.5
-(``-l en -norm``) whose tuned parameters and syn/par modules need
-external resources; our implementation is the classic Banerjee & Lavie
-2005 scorer with exact+stem stages. These goldens pin OUR formula
-exactly; the jar delta is documented, not asserted.
+(``-l en -norm``). The default scorer here implements the 1.5 English
+parameterization (alpha=.85 beta=.2 gamma=.6 delta=.75 with
+content/function weighting) over the jar's match-maximal,
+chunk-minimizing alignment; the 2005 constants remain available as
+``meteor_2005``. The syn/par matcher stages need external resources and
+stay documented deltas. These goldens pin BOTH modes' formulas by hand
+derivation; the remaining jar delta (resources + exact function-word
+list) is documented, not asserted.
 """
 
 import math
@@ -29,7 +33,7 @@ import pytest
 
 from mtn_tpu.evalmetrics.bleu import corpus_bleu
 from mtn_tpu.evalmetrics.cider import cider
-from mtn_tpu.evalmetrics.meteor import meteor
+from mtn_tpu.evalmetrics.meteor import meteor, meteor_2005
 from mtn_tpu.evalmetrics.rouge import rouge_l
 from mtn_tpu.evalmetrics.stem import porter_stem
 
@@ -126,8 +130,8 @@ def test_meteor_banerjee_lavie_chunk_example():
     p, r = 1.0, 6 / 7
     fmean = p * r / (0.9 * p + 0.1 * r)
     want = fmean * (1 - 0.5 * (2 / 6) ** 3)
-    got = meteor({1: ["the president then spoke to the audience"]},
-                 {1: ["the president spoke to the audience"]})
+    got = meteor_2005({1: ["the president then spoke to the audience"]},
+                      {1: ["the president spoke to the audience"]})
     assert got == pytest.approx(want, rel=1e-9)
     assert got == pytest.approx(0.8534621578099838, rel=1e-9)
 
@@ -139,8 +143,58 @@ def test_meteor_stem_stage_golden():
     P = R = 1.6/2 = 0.8 -> Fmean = 0.8; Pen = 0.5*(1/2)^3 = 0.0625;
     score = 0.8 * 0.9375 = 0.75.
     """
-    assert meteor({1: ["the cat"]}, {1: ["the cats"]}) == \
+    assert meteor_2005({1: ["the cat"]}, {1: ["the cats"]}) == \
         pytest.approx(0.75, rel=1e-9)
+
+
+def test_meteor_alignment_minimizes_chunks():
+    """The aligner must pick, among match-maximal alignments, the one
+    with fewest chunks (Banerjee & Lavie 2005 §2; the jar's Aligner).
+
+    hyp 'a b a' vs ref 'b a': two maximal (2-match) alignments exist —
+    {h0-r1, h1-r0} (2 chunks) and {h1-r0, h2-r1} (1 chunk: both steps
+    advance hyp and ref by one). Chunk-minimizing picks the second.
+
+    2005 scoring: mw=2 m=2 ch=1 hlen=3 rlen=2; P=2/3 R=1,
+    Fmean = PR/(0.9P+0.1R) = (2/3)/(0.6+0.1) = 20/21;
+    Pen = 0.5*(1/2)^3 = 0.0625 -> score = (20/21)*0.9375 = 0.892857...
+    (a greedy first-match aligner yields 2 chunks -> 0.47619).
+    """
+    got = meteor_2005({1: ["b a"]}, {1: ["a b a"]})
+    assert got == pytest.approx((20 / 21) * 0.9375, rel=1e-9)
+
+
+def test_meteor15_content_function_golden():
+    """Hand-derived METEOR-1.5 'en' segment: hyp 'the cat sat' vs ref
+    'the cat sat on the mat'.
+
+    Matches: 3 exact pairs, one contiguous chunk; not a perfect match
+    (rlen 6 > 3) so the chunk counts. Content/function weighting
+    (delta=.75; 'the'/'on' are function words):
+      P = (.25+.75+.75)/(.25+.75+.75) = 1
+      R = 1.75 / (.25+.75+.75+.25+.25+.75) = 1.75/3
+      Fmean = PR/(.85P+.15R), Pen = .6*(1/3)^.2.
+    """
+    p = 1.0
+    r = 1.75 / 3.0
+    fmean = p * r / (0.85 * p + 0.15 * r)
+    want = fmean * (1.0 - 0.6 * (1.0 / 3.0) ** 0.2)
+    got = meteor({1: ["the cat sat on the mat"]}, {1: ["the cat sat"]})
+    assert got == pytest.approx(want, rel=1e-9)
+    assert got == pytest.approx(0.32253203916506945, rel=1e-9)
+
+
+def test_meteor15_identity_and_function_word_weighting():
+    """Identity law: a corpus scored against itself is exactly 1.0 (the
+    beta=0.2 penalty is zeroed for perfectly, contiguously matched
+    segments). And delta weighting: dropping a function word ('the')
+    must cost less than dropping a content word ('dog')."""
+    refs = {1: ["the dog runs across the yard"], 2: ["a man is singing"]}
+    assert meteor(refs, {k: [v[0]] for k, v in refs.items()}) == 1.0
+    ref = {1: ["the dog runs"]}
+    drop_function = meteor(ref, {1: ["dog runs"]})
+    drop_content = meteor(ref, {1: ["the runs"]})
+    assert drop_function > drop_content
 
 
 def test_porter_stem_matches_nltk_original_algorithm():
@@ -196,8 +250,9 @@ def test_meteor_exact_vs_stem_spread_on_dialogue_text():
         M.porter_stem = orig
     assert with_stem >= exact_only
     # characterization, not an external golden (none exists for this):
-    # measured exact+stem 0.6877 vs exact-only 0.5473 — the stem stage
-    # contributes on the order of +0.1 METEOR on inflection-heavy text.
-    # The window is loose on purpose so legitimate float/stemmer tweaks
-    # don't trip it while a broken stage (delta ~0 or huge) still does.
+    # measured (1.5 'en' scoring) exact+stem 0.3697 vs exact-only
+    # 0.2638 — the stem stage contributes on the order of +0.1 METEOR
+    # on inflection-heavy text. The window is loose on purpose so
+    # legitimate float/stemmer tweaks don't trip it while a broken
+    # stage (delta ~0 or huge) still does.
     assert 0.05 < with_stem - exact_only < 0.25
