@@ -379,3 +379,51 @@ def test_load_features_dedups_repeated_vids(ds, monkeypatch):
                                   use_native=True)
         for a, b in zip(want[0] + want[1], got_nat[0] + got_nat[1]):
             np.testing.assert_array_equal(a, b)
+
+
+def test_check_dstc7_data_script(tmp_path, capsys):
+    """scripts/check_dstc7_data.py (VERDICT r2 #7): passes on a corpus
+    laid out exactly like the real DSTC7 download (including the
+    download's 'lbl_undiscloseonly_' eval-file spelling), and fails
+    with a nonzero exit when a feature file or a dialogue set is
+    missing."""
+    import importlib.util
+    import shutil
+
+    from tests.fixtures import write_tiny_corpus
+
+    spec = importlib.util.spec_from_file_location(
+        "check_dstc7_data",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "check_dstc7_data.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    root = tmp_path / "data"
+    c = write_tiny_corpus(root, n_dialogs=4, n_turns=2)
+    os.rename(c.train_set, root / "train_set4DSTC7-AVSD.json")
+    os.rename(c.valid_set, root / "valid_set4DSTC7-AVSD.json")
+    os.rename(c.test_set, root / "test_set4DSTC7-AVSD.json")
+    os.rename(c.lbl_test_set, root / "lbl_test_set4DSTC7-AVSD.json")
+    # the real download's spelling (reference repo asks for
+    # 'undisclosedonly'; both must be accepted)
+    shutil.copy(root / "lbl_test_set4DSTC7-AVSD.json",
+                root / "lbl_undiscloseonly_test_set4DSTC7-AVSD.json")
+    (root / "stopwords.txt").write_text("uh\n")
+    for ft in c.fea_types:
+        os.symlink(root / ft, root / f"{ft}_testset")
+
+    argv = ["--data-root", str(root), "--fea-types", "i3d_rgb vggish"]
+    assert mod.main(argv) == 0
+    out = capsys.readouterr().out
+    assert "run.sh 2" in out and "lbl_undiscloseonly_" in out
+
+    # break one feature file -> FAIL + exit 1
+    victim = next((root / "i3d_rgb").glob("*.npy"))
+    victim.unlink()
+    assert mod.main(argv) == 1
+    assert "FAIL" in capsys.readouterr().out
+
+    # missing dialogue set -> exit 1 (and not a crash)
+    (root / "valid_set4DSTC7-AVSD.json").unlink()
+    assert mod.main(argv) == 1
