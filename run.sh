@@ -67,8 +67,12 @@ feature_transfer=""     # ''|bfloat16|int8: host->device feature precision
 uniform_shapes_train=0  # 1: single compiled train step (pad to maxima)
 accum_steps=1           # >1: gradient accumulation (one optimizer update
                         # per N batches; requires uniform_shapes_train=1)
-remat=0                 # 1: rematerialize decoder layers in backward
-                        # (activation memory ~ one layer; extra FLOPs)
+remat=1                 # 1 (default): rematerialize decoder layers in
+                        # backward — measured FASTER at flagship shapes
+                        # (1.13x, BENCH.md "Defaults policy") AND caps
+                        # activation memory at ~one layer; numerics are
+                        # bitwise-identical (test_remat_identical_loss_
+                        # and_grads). 0 restores store-everything.
 grad_clip=0.0           # >0: clip gradients to this global L2 norm
 patience=0              # >0: early-stop after N epochs without a new
                         # best validation loss
