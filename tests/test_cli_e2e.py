@@ -7,6 +7,9 @@ import os
 import numpy as np
 import pytest
 
+# end-to-end tier: deselect with -m 'not slow' (pyproject markers)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trained(tiny_corpus, tmp_path_factory):

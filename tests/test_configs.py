@@ -12,6 +12,9 @@ from mtn_tpu.train.batch import device_batch
 from mtn_tpu.train.trainer import Trainer
 from tests.fixtures import tiny_model_cfg
 
+# end-to-end tier: deselect with -m 'not slow' (pyproject markers)
+pytestmark = pytest.mark.slow
+
 PAD, SOS = 1, 2
 
 

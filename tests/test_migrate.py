@@ -10,6 +10,9 @@ import pytest
 from tests.test_reference_parity import (FT_SIZES, PAD, _RefBatch, _np,
                                          ref_modules, D, FF, H, N_LAYERS, V)
 
+# end-to-end tier: deselect with -m 'not slow' (pyproject markers)
+pytestmark = pytest.mark.slow
+
 
 def test_migrate_reference_checkpoint(ref_modules, tmp_path):
     ref_mtn, _, _ = ref_modules

@@ -17,6 +17,9 @@ import sys
 import numpy as np
 import pytest
 
+# end-to-end tier: deselect with -m 'not slow' (pyproject markers)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
 

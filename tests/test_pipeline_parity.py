@@ -52,6 +52,9 @@ from pathlib import Path
 
 import pytest
 
+# end-to-end tier: deselect with -m 'not slow' (pyproject markers)
+pytestmark = pytest.mark.slow
+
 REF = "/root/reference"
 
 DIMS = ["--nb-blocks", "2", "--d-model", "16", "--d-ff", "32",

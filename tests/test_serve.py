@@ -6,6 +6,9 @@ with test_serve_http.py)."""
 import numpy as np
 import pytest
 
+# end-to-end tier: deselect with -m 'not slow' (pyproject markers)
+pytestmark = pytest.mark.slow
+
 
 def test_serving_session_from_trained_checkpoint(served):
     prefix, feats = served

@@ -13,6 +13,9 @@ import urllib.request
 import numpy as np
 import pytest
 
+# end-to-end tier: deselect with -m 'not slow' (pyproject markers)
+pytestmark = pytest.mark.slow
+
 
 def _post(url, payload, timeout=300):
     req = urllib.request.Request(
