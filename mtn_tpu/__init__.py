@@ -20,10 +20,13 @@ capability surface of the MTN reference (henryhungle/MTN, ACL'19):
 - ``mtn_tpu.parallel``    — device mesh + sharding rules (dp/tp) over ICI,
                             multi-host (DCN) execution support.
 - ``mtn_tpu.evalmetrics`` — COCO-caption metrics (BLEU/METEOR/ROUGE-L/CIDEr)
-                            in pure Python 3 plus DSTC7 format converters.
+                            in pure Python 3, DSTC7 format converters, and
+                            VisDial retrieval metrics (R@k/mean rank/MRR).
 - ``mtn_tpu.utils``       — Orbax checkpointing, CSV/metric logging, profiling.
-- ``mtn_tpu.cli``         — `train` / `generate` entry points with the
-                            reference's flag surface (run.sh stage CLI parity).
+- ``mtn_tpu.cli``         — `train` / `generate` / `evaluate` entry points
+                            with the reference's flag surface (run.sh stage
+                            CLI parity), plus `rank` (discriminative
+                            VisDial-style candidate scoring).
 - ``mtn_tpu.serve``       — interactive sessions + continuous-batching
                             ``AsyncServer`` over the cached decoder;
                             ``mtn_tpu.serve_http`` is the stdlib HTTP

@@ -34,7 +34,7 @@ with a host sync per hypothesis. Here:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,10 @@ from mtn_tpu.models.mtn import MTN, DecodeState
 from mtn_tpu.train.batch import DeviceBatch, batch_masks
 
 NEG_INF = -1.0e30
+
+
+def _round_up_int(n: int, m: int) -> int:
+    return n if m <= 1 else -(-n // m) * m
 
 
 def detokenize(tokens, vlist, eos: int = SPECIALS["<eos>"]) -> str:
@@ -82,6 +86,7 @@ class BeamDecoder:
         self._beam_fn = None
         self._greedy_fn = None
         self._sample_fn = None
+        self._rank_fns = {}
 
     # ------------------------------------------------------------------
     def _decode_state(self, params, batch: DeviceBatch) -> DecodeState:
@@ -427,6 +432,96 @@ class BeamDecoder:
         toks, valid = self._gather(self._greedy_fn(params, batch),
                                    batch.valid)
         return self._cut_rows(toks, valid)
+
+    # -- discriminative candidate ranking --------------------------------
+    def _build_rank(self, N: int, L: int):
+        """Teacher-forced log-likelihood scorer for N candidates of
+        (padded) length L per turn — the VisDial-style discriminative
+        mode (reference readme.md:81-86: at test time "the model selects
+        the best answer candidate based on the log likelihood among the
+        answer options"). One compiled program per (N, L) bucket: the
+        encoder/cross-attention state is computed once per turn and
+        tiled over the N candidates (like the beam's tiling over
+        hypotheses), then a lax.scan feeds each candidate through the
+        same cached one-token decode step the generative decoders use,
+        accumulating log P(token | context, prefix) over real (non-pad)
+        positions."""
+        def rank_fn(params, batch: DeviceBatch, cand, cand_len):
+            B = batch.query.shape[0]
+            state = self._decode_state(params, batch)
+            state = jax.tree.map(lambda x: jnp.repeat(x, N, axis=0), state)
+            self_kv = self.model.init_self_kv(B * N, L)
+            rows = cand.reshape(B * N, L)
+            lens = cand_len.reshape(B * N)
+            inputs = jnp.concatenate(
+                [jnp.full((B * N, 1), self.sos, jnp.int32), rows[:, :-1]],
+                axis=1)
+
+            def step(carry, l):
+                total, self_kv = carry
+                cur = jax.lax.dynamic_index_in_dim(
+                    inputs, l, axis=1, keepdims=False)
+                logp, self_kv = self._step(params, state, cur, l, self_kv)
+                tgt = jax.lax.dynamic_index_in_dim(
+                    rows, l, axis=1, keepdims=False)
+                tok_lp = jnp.take_along_axis(
+                    logp, tgt[:, None], axis=1)[:, 0]
+                total = total + jnp.where(l < lens, tok_lp, 0.0)
+                return (total, self_kv), None
+
+            (total, _), _ = jax.lax.scan(
+                step, (jnp.zeros((B * N,), jnp.float32), self_kv),
+                jnp.arange(L))
+            return total.reshape(B, N)
+
+        return self._jit(rank_fn)
+
+    def rank_batch(self, params, batch: DeviceBatch,
+                   candidates: Sequence[Sequence[Sequence[int]]],
+                   include_eos: bool = True,
+                   len_bucket: int = 8, cand_bucket: int = 8
+                   ) -> List[List[float]]:
+        """Score answer candidates by generative log-likelihood.
+
+        ``candidates[b]`` is the list of candidate token-id sequences for
+        batch row b (one entry per row, valid or not; invalid rows are
+        dropped from the output like every other batch decoder).
+        Returns, per *valid* row, ``[log P(candidate | context), ...]``
+        in the input candidate order — rank with ``evalmetrics.retrieval``.
+
+        ``include_eos`` (default on) appends <eos> to every candidate so
+        the score is the likelihood of the complete answer event the
+        generative loss trains (answer tokens + <eos>); without it the
+        score is the bare token-sequence likelihood. N and L are bucketed
+        so serving traffic with varying option counts reuses compiled
+        programs; padded candidates score 0 and are dropped on output.
+        """
+        B = batch.query.shape[0]
+        if len(candidates) != B:
+            raise ValueError(
+                f"candidates has {len(candidates)} rows, batch has {B}")
+        n_max = max((len(c) for c in candidates), default=0)
+        if n_max == 0:
+            return [[] for b in range(B) if bool(np.asarray(batch.valid)[b])]
+        extra = 1 if include_eos else 0
+        l_max = max((len(t) for c in candidates for t in c), default=0) + extra
+        N = max(_round_up_int(n_max, cand_bucket), 1)
+        L = max(_round_up_int(max(l_max, 1), len_bucket), 1)
+        cand = np.full((B, N, L), self.pad, np.int32)
+        clen = np.zeros((B, N), np.int32)
+        for b, cands in enumerate(candidates):
+            for n, toks in enumerate(cands):
+                toks = list(toks) + ([self.eos] if include_eos else [])
+                cand[b, n, :len(toks)] = toks
+                clen[b, n] = len(toks)
+        key = (N, L)
+        if key not in self._rank_fns:
+            self._rank_fns[key] = self._build_rank(N, L)
+        scores = self._rank_fns[key](params, batch, jnp.asarray(cand),
+                                     jnp.asarray(clen))
+        scores, valid = self._gather(scores, batch.valid)
+        return [[float(s) for s in scores[b][:len(candidates[b])]]
+                for b in range(B) if valid[b]]
 
     # -- streaming ------------------------------------------------------
     def _jit(self, fn):

@@ -264,6 +264,39 @@ class ServingSession:
                       caption=caption, features=features or {})
         return self.respond_batch([req])[0][0]
 
+    def rank(self, request: Request, candidates: Sequence[str],
+             include_eos: bool = True) -> List[Tuple[str, float, int]]:
+        """VisDial-style discriminative mode: score the given answer
+        candidates by generative log-likelihood under the dialogue
+        context and rank them (reference readme.md:81-86 — its visdial
+        branch "selects the best answer candidate based on the log
+        likelihood among the answer options").
+
+        Returns ``[(candidate, logp, rank), ...]`` in the INPUT order;
+        ``rank`` is the 1-indexed position under descending
+        log-likelihood (tie law: evalmetrics.retrieval.rank_of).
+        Retrieval metrics over a test run come from
+        ``evalmetrics.retrieval.retrieval_metrics``.
+        """
+        from mtn_tpu.evalmetrics.retrieval import rank_of
+        if not candidates:
+            raise ValueError("no candidates to rank")
+        # B=1: ranking tiles the turn over N candidates on-device, so
+        # padding the batch axis to turn_batch would multiply that work
+        # by unused rows; the (N, L)-bucketed rank program recompiles
+        # only per candidate-count bucket.
+        hb = encode_requests([request], self.model_cfg, self.data_cfg,
+                             self.vocab, self._lb, self._fb)
+        db = device_batch(hb, self.model_cfg.dtype)
+        # words2ids wraps with <sos>/<eos>; rank_batch supplies its own
+        # <sos> input prefix and (include_eos) <eos> target, so strip both
+        cand_ids = [words2ids(c, self.vocab)[1:-1].tolist()
+                    for c in candidates]
+        scores = self.decoder.rank_batch(self.params, db, [cand_ids],
+                                         include_eos=include_eos)[0]
+        return [(c, s, rank_of(scores, i))
+                for i, (c, s) in enumerate(zip(candidates, scores))]
+
     def stream(self, request: Request, style: Optional[str] = None):
         """Generator of answer words for ONE request, emitted as they
         are decoded (per-step device fetches; see

@@ -22,6 +22,14 @@ API (all JSON)::
     POST /v1/respond_batch  {"requests": [<respond body>, ...],
                              "nbest": int}                  # optional
                         ->  {"results": [{"answer", "score"}, ...]}
+    POST /v1/rank           <respond body minus nbest>
+                            + {"candidates": [str, ...],
+                               "include_eos": bool}         # optional
+                        ->  {"candidates": [{"answer", "logp",
+                            "rank"}, ...]} in input order — the
+                            VisDial-style discriminative mode
+                            (candidates scored by generative
+                            log-likelihood; reference readme.md:81-86)
     POST /v1/stream         <respond body> (+ optional "style":
                             "greedy"|"sample")
                         ->  Server-Sent Events: one
@@ -296,6 +304,14 @@ class MTNServer(ThreadingHTTPServer):
             return self.async_server.respond(req)
         with self._admission(), self._lock:
             return self.session.respond_batch([req])[0]
+
+    def rank_one(self, req: Request, candidates: List[str],
+                 include_eos: bool = True):
+        # ranking always takes the lock-serialized path: it runs its own
+        # candidate-tiled program, not the shared beam launch
+        with self._admission(), self._lock:
+            return self.session.rank(req, candidates,
+                                     include_eos=include_eos)
 
     def respond_many(self, reqs: List[Request]) -> List[Tuple[str, float]]:
         if self.async_server is not None:
@@ -627,6 +643,25 @@ class _Handler(BaseHTTPRequestHandler):
                         "'style' must be 'greedy' or 'sample'")
                 req = parse_request(body)
                 self._stream_events(req, style)
+            elif self.path == "/v1/rank":
+                t0 = time.monotonic()
+                body = self._read_json()
+                req = parse_request(body)
+                cands = body.get("candidates")
+                if (not isinstance(cands, list) or not cands
+                        or not all(isinstance(c, str) and c.strip()
+                                   for c in cands)):
+                    raise BadRequest("'candidates' (non-empty list of "
+                                     "non-empty strings) is required")
+                include_eos = body.get("include_eos", True)
+                if not isinstance(include_eos, bool):
+                    raise BadRequest("'include_eos' must be a boolean")
+                ranked = srv.rank_one(req, cands, include_eos)
+                srv.latency.observe(time.monotonic() - t0)
+                srv.count()
+                self._send(200, {"candidates": [
+                    {"answer": c, "logp": s, "rank": r}
+                    for c, s, r in ranked]})
             elif self.path == "/v1/respond_batch":
                 t0 = time.monotonic()
                 body = self._read_json()

@@ -436,3 +436,74 @@ def test_grad_clip_and_patience_cli(tiny_corpus, tmp_path):
         "--turn-batch", "4", "--dtype", "float32",
     ])
     assert rc == 0 and os.path.exists(result_path)
+
+
+def _load_script(name):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(os.path.dirname(__file__), "..", "scripts",
+                           name + ".py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_rank_cli_end_to_end(trained, tmp_path):
+    """Discriminative (VisDial-style) evaluation at the CLI surface:
+    candidates built from the labeled set by scripts/make_rank_candidates,
+    scored by `python -m mtn_tpu.cli.rank`, output gt_ranks consistent
+    with the documented tie law and the metric block with the ranks."""
+    corpus, prefix = trained
+    mk = _load_script("make_rank_candidates")
+    cand_path = str(tmp_path / "cands.json")
+    rc = mk.main([corpus.lbl_test_set, cand_path, "--last",
+                  "--num-options", "4", "--seed", "3"])
+    assert rc == 0
+    cands = json.load(open(cand_path))
+    raw = json.load(open(corpus.lbl_test_set))
+    assert len(cands["dialogs"]) == len(raw["dialogs"])
+    for cd, rd in zip(cands["dialogs"], raw["dialogs"]):
+        ct = cd["dialog"][-1]
+        assert len(ct["answer_options"]) == 4
+        assert ct["answer_options"][ct["gt_index"]] == \
+            rd["dialog"][-1]["answer"]
+
+    out_path = str(tmp_path / "ranks.json")
+    from mtn_tpu.cli.rank import main as rank_main
+    rc = rank_main([
+        "--test-path", corpus.fea_path,
+        "--test-set", corpus.test_set,
+        "--model", prefix + "_best",
+        "--candidates", cand_path,
+        "--undisclosed-only", "1",
+        "--output", out_path,
+        "--turn-batch", "4", "--dtype", "float32",
+    ])
+    assert rc == 0
+    from mtn_tpu.evalmetrics.retrieval import rank_of, retrieval_metrics
+    result = json.load(open(out_path))
+    ranks = []
+    for d, cd in zip(result["dialogs"], cands["dialogs"]):
+        assert d["image_id"] == cd["image_id"]
+        for t, ct in zip(d["dialog"], cd["dialog"]):
+            assert len(t["scores"]) == len(ct["answer_options"])
+            assert all(np.isfinite(s) for s in t["scores"])
+            assert t["gt_rank"] == rank_of(t["scores"], ct["gt_index"])
+            ranks.append(t["gt_rank"])
+    assert len(ranks) == len(result["dialogs"])  # undisclosed: 1 turn each
+    assert result["metrics"] == retrieval_metrics(ranks)
+
+    # misaligned candidates (turn count mismatch) must be rejected
+    bad = {"dialogs": [dict(d, dialog=d["dialog"] * 2)
+                       for d in cands["dialogs"]]}
+    bad_path = str(tmp_path / "bad.json")
+    json.dump(bad, open(bad_path, "w"))
+    with pytest.raises(ValueError, match="turns"):
+        rank_main([
+            "--test-path", corpus.fea_path,
+            "--test-set", corpus.test_set,
+            "--model", prefix + "_best",
+            "--candidates", bad_path,
+            "--undisclosed-only", "1",
+            "--turn-batch", "4", "--dtype", "float32",
+        ])

@@ -316,3 +316,68 @@ def test_respond_carries_full_nbest(served):
                                        turn_batch=2))
     gres = g.respond_batch([req])[0]
     assert gres.nbest == [tuple(gres)]
+
+
+def test_rank_candidates_discriminative_mode(served):
+    """VisDial-style mode (reference readme.md:81-86): candidates scored
+    by generative log-likelihood, ranks consistent with scores and the
+    evalmetrics.retrieval tie law; deterministic across calls."""
+    prefix, feats = served
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.evalmetrics.retrieval import rank_of
+    from mtn_tpu.serve import Request, ServingSession
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2))
+    req = Request(question="what is he doing ?",
+                  history=[("is anyone there ?", "yes one person")],
+                  caption="a man sits on a couch reading a book",
+                  features=feats)
+    cands = ["he sits on the couch", "a dog walks", "yes",
+             "no people at all"]
+    ranked = session.rank(req, cands)
+    assert [c for c, _, _ in ranked] == cands       # input order kept
+    scores = [s for _, s, _ in ranked]
+    assert all(isinstance(s, float) and np.isfinite(s) for s in scores)
+    assert [r for _, _, r in ranked] == [rank_of(scores, i)
+                                         for i in range(len(cands))]
+    assert sorted(r for _, _, r in ranked) == [1, 2, 3, 4]  # no ties here
+    # deterministic
+    again = session.rank(req, cands)
+    assert [s for _, s, _ in again] == pytest.approx(scores)
+    # include_eos=False drops exactly the <eos> term: scores change but
+    # stay finite and ranking machinery still holds
+    bare = session.rank(req, cands, include_eos=False)
+    assert all(np.isfinite(s) for _, s, _ in bare)
+    assert any(b != pytest.approx(s)
+               for (_, b, _), s in zip(bare, scores))
+    with pytest.raises(ValueError):
+        session.rank(req, [])
+
+
+def test_rank_scores_answer_event_without_sos(served):
+    """Regression: the scored event is the answer tokens (+<eos>), NOT the
+    <sos>/<eos>-wrapped words2ids sequence — rank() must strip the wrappers
+    before handing candidates to rank_batch (which supplies its own <sos>
+    input prefix and <eos> target, mirroring answer_in/answer_out:
+    dataset.py docstring, reference data_handler.py:76-86)."""
+    prefix, feats = served
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.data.vocab import words2ids
+    from mtn_tpu.serve import (Request, ServingSession, device_batch,
+                               encode_requests)
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2))
+    req = Request(question="what is he doing ?",
+                  caption="a man sits on a couch", features=feats)
+    cands = ["he sits", "a dog walks"]
+    got = [s for _, s, _ in session.rank(req, cands)]
+    hb = encode_requests([req], session.model_cfg, session.data_cfg,
+                         session.vocab, session._lb, session._fb)
+    db = device_batch(hb, session.model_cfg.dtype)
+    bare = [words2ids(c, session.vocab)[1:-1].tolist() for c in cands]
+    want = session.decoder.rank_batch(session.params, db, [bare])[0]
+    assert got == pytest.approx(want)
+    # and the wrapped form scores differently (the old bug is detectable)
+    wrapped = [words2ids(c, session.vocab).tolist() for c in cands]
+    buggy = session.decoder.rank_batch(session.params, db, [wrapped])[0]
+    assert any(b != pytest.approx(w) for b, w in zip(buggy, want))

@@ -547,3 +547,37 @@ def test_http_cli_main_end_to_end(served):
             proc.kill()
             raise
     assert rc == 0
+
+
+def test_rank_endpoint(http_server):
+    """POST /v1/rank: the VisDial-style discriminative mode over HTTP."""
+    srv, base, feats = http_server
+    body = {"question": "what is he doing ?",
+            "caption": "a man sits on a couch",
+            "candidates": ["he sits on the couch", "a dog walks", "yes"]}
+    code, out = _post(base + "/v1/rank", body)
+    assert code == 200
+    got = out["candidates"]
+    assert [g["answer"] for g in got] == body["candidates"]
+    scores = [g["logp"] for g in got]
+    assert all(isinstance(s, float) for s in scores)
+    # ranks consistent with scores (1-indexed, strictly-higher outranks)
+    for i, g in enumerate(got):
+        assert g["rank"] == 1 + sum(1 for j, s in enumerate(scores)
+                                    if j != i and s > scores[i])
+    # matches the session API exactly
+    from mtn_tpu.serve import Request
+    direct = srv.session.rank(
+        Request(question=body["question"], caption=body["caption"]),
+        body["candidates"])
+    assert scores == pytest.approx([s for _, s, _ in direct])
+    # validation: missing/empty candidates and bad include_eos -> 400
+    for bad in ({"question": "hi ?"},
+                {"question": "hi ?", "candidates": []},
+                {"question": "hi ?", "candidates": ["ok"],
+                 "include_eos": "yes"}):
+        try:
+            code, _ = _post(base + "/v1/rank", bad)
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 400, bad
