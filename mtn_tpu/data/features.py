@@ -43,6 +43,13 @@ class FeatureRegistry:
         # are flattened into the frame axis at load time (see
         # load_features), so n_frames here is the post-flatten T*R
         self._has_3d: List[bool] = []
+        if vid_set and self.fea_types and \
+                "<ImageID>" not in fea_path_template:
+            raise ValueError(
+                f"feature path {fea_path_template!r} has no <ImageID> "
+                "placeholder — expected a per-video template like "
+                "'data/<FeaType>/<ImageID>.npy' (run.sh stage 3 passes "
+                "one; a bare directory cannot name per-video files)")
         for ftype in self.fea_types:
             basepath = fea_path_template.replace("<FeaType>", ftype)
             stream: Dict[str, Tuple[str, int]] = {}

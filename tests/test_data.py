@@ -213,3 +213,13 @@ def test_4d_feature_arrays_rejected_with_clear_error(tmp_path):
     with pytest.raises(NotImplementedError, match="4-D feature array"):
         FeatureRegistry(["i3d_rgb"], str(tmp_path / "<FeaType>" /
                                          "<ImageID>.npy"), ["VID000"])
+
+
+def test_feature_path_without_placeholder_rejected_with_clear_error():
+    """A bare directory (no <ImageID> template) as the feature path must
+    fail loudly at registry build, not with IsADirectoryError deep in a
+    header read (or, worse, by silently loading one file for every
+    video)."""
+    from mtn_tpu.data.features import FeatureRegistry
+    with pytest.raises(ValueError, match="<ImageID>"):
+        FeatureRegistry(["i3d_rgb"], "data", ["VID000"])
