@@ -57,6 +57,11 @@ def add_tpu_args(parser: argparse.ArgumentParser):
                         help="use the fused Pallas FFN kernel on TPU "
                              "(opt-in: e2e-neutral at flagship shapes — "
                              "docs/BENCH.md)")
+    parser.add_argument("--fused-decode-qkv", default=0, type=int,
+                        help="fuse decode-time self-attention q/k/v into "
+                             "one (D, 3D) GEMM (opt-in: same dot products "
+                             "but not bitwise — docs/BENCH.md 'Decode QKV "
+                             "fusion')")
     parser.add_argument("--profile-dir", default=None, type=str,
                         help="jax.profiler trace output directory")
     parser.add_argument("--nan-checks", default=0, type=int,

@@ -190,6 +190,7 @@ def main(argv=None):
     model_cfg.dtype = args.dtype
     model_cfg.use_pallas_attention = bool(args.use_pallas_attention)
     model_cfg.use_pallas_ffn = bool(args.use_pallas_ffn)
+    model_cfg.fused_decode_qkv = bool(args.fused_decode_qkv)
     if args.dtype == "float32":
         jax.config.update("jax_default_matmul_precision", "highest")
 

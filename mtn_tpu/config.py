@@ -50,6 +50,14 @@ class ModelConfig:
     # for longer-sequence configs.
     use_pallas_attention: bool = False
     use_pallas_ffn: bool = False
+    # decode-time self-attention projects q/k/v from the same pre-normed
+    # tensor; fusing the three (D, D) kernels into one (D, 3D) GEMM cuts
+    # two kernel dispatches per layer per decode step. Same dot products
+    # but a different GEMM tiling (~1e-6 f32 drift,
+    # tests/test_model.py::test_fused_decode_qkv_matches_unfused), so per
+    # the defaults policy (docs/BENCH.md) it ships OPT-IN; measurement in
+    # docs/BENCH.md "Decode QKV fusion" (scripts/bench_qkv_fusion.py).
+    fused_decode_qkv: bool = False
     # rematerialization: recompute each decoder layer's activations in
     # the backward pass (jax.checkpoint via nn.remat) instead of storing
     # them — trades ~1 extra forward of FLOPs for O(1-layer) activation

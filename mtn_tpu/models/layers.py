@@ -119,6 +119,36 @@ class MultiHeadAttention(nn.Module):
         """(B, Lk, D) -> cached ((B,H,Lk,Dk), (B,H,Lk,Dk))."""
         return self._split(self.w_k(kv_in)), self._split(self.w_v(kv_in))
 
+    def fused_qkv(self, x: jnp.ndarray):
+        """q/k/v projections of the SAME input in one GEMM.
+
+        Decode-time self-attention projects q, k and v from one tensor
+        (the pre-normed current position), so the three (D, D) kernels
+        can be concatenated along the output axis into a single
+        (D, 3D) GEMM — each output column keeps its dot product (and
+        reduction axis) unchanged, the kernel count per decode step
+        drops by two per layer. Returns head-split
+        ((B,H,L,Dk), (B,H,L,Dk), (B,H,L,Dk)).
+        """
+        dt = self.dtype
+        ps = [self.w_q.variables["params"], self.w_k.variables["params"],
+              self.w_v.variables["params"]]
+        kernel = jnp.concatenate([p["kernel"] for p in ps],
+                                 axis=1).astype(dt)
+        bias = jnp.concatenate([p["bias"] for p in ps]).astype(dt)
+        qkv = jnp.dot(x.astype(dt), kernel) + bias
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return self._split(q), self._split(k), self._split(v)
+
+    def attend_pre_q(self, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """attend_with_kv with q already projected+head-split (decode
+        path, deterministic — used with ``fused_qkv``)."""
+        out = multi_head_attention(q, k, v, mask, dropout_rate=0.0,
+                                   dropout_rng=None,
+                                   use_pallas=self.use_pallas)
+        return self.w_o(self._merge(out))
+
     def attend_with_kv(self, q_in: jnp.ndarray, k: jnp.ndarray,
                        v: jnp.ndarray, mask: Optional[jnp.ndarray],
                        deterministic: bool = True) -> jnp.ndarray:

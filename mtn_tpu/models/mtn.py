@@ -252,15 +252,22 @@ class DecoderLayer(nn.Module):
 
     # -- single-token decode step ------------------------------------------
     def step(self, x, cache: LayerDecodeCache, masks: SourceMasks, ae_mask,
-             self_k, self_v, pos):
+             self_k, self_v, pos, self_q=None):
         """x: (B, 1, D) current-position activations. ``self_k/v``:
         (B, H, maxlen, Dk) caches already containing this step's K/V at
-        index ``pos``. Returns updated x."""
+        index ``pos``. ``self_q``: optionally the current position's
+        head-split q, already projected by ``fused_self_qkv`` (the
+        sublayer's pre-norm of x is CSE'd with the one that fed the
+        fused projection). Returns updated x."""
         maxlen = self_k.shape[2]
         # causal mask over the cache: attend to positions <= pos
         valid = (jnp.arange(maxlen) <= pos)[None, None, None, :]
-        x = self.sl_self(x, lambda y: self.self_attn.attend_with_kv(
-            y, self_k, self_v, valid), True)
+        if self_q is not None:
+            x = self.sl_self(x, lambda y: self.self_attn.attend_pre_q(
+                self_q, self_k, self_v, valid), True)
+        else:
+            x = self.sl_self(x, lambda y: self.self_attn.attend_with_kv(
+                y, self_k, self_v, valid), True)
         hd = lambda m: m[:, None]  # add head axis
         x = self.sl_his(x, lambda y: self.his_attn.attend_with_kv(
             y, *cache.his_kv, hd(masks.his)), True)
@@ -284,6 +291,10 @@ class DecoderLayer(nn.Module):
     def self_qkv(self, x):
         """Project current-position q-input's K/V for the self cache."""
         return self.self_attn.project_kv(x)
+
+    def fused_self_qkv(self, x):
+        """Current position's (q, k, v), head-split, in one GEMM."""
+        return self.self_attn.fused_qkv(x)
 
     def self_norm_in(self, x):
         """Pre-norm input to self-attention (needed before caching K/V)."""
@@ -334,13 +345,17 @@ class Decoder(nn.Module):
         new_kv = []
         for layer, cache, (k_cache, v_cache) in zip(self.layers, state.layers,
                                                     self_kv):
-            k_t, v_t = layer.self_qkv(layer.self_norm_in(x))
+            if self.cfg.fused_decode_qkv:
+                q_t, k_t, v_t = layer.fused_self_qkv(layer.self_norm_in(x))
+            else:
+                q_t = None
+                k_t, v_t = layer.self_qkv(layer.self_norm_in(x))
             k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_t, pos,
                                                           axis=2)
             v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_t, pos,
                                                           axis=2)
             x = layer.step(x, cache, state.masks, state.ae_mask, k_cache,
-                           v_cache, pos)
+                           v_cache, pos, self_q=q_t)
             new_kv.append((k_cache, v_cache))
         return self.norm(x), tuple(new_kv)
 

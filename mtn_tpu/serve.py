@@ -162,7 +162,11 @@ class ServingSession:
     @classmethod
     def from_checkpoint(cls, model_arg: str,
                         decode_cfg: Optional[DecodeConfig] = None,
-                        mesh=None) -> "ServingSession":
+                        mesh=None, model_overrides: Optional[Dict] = None
+                        ) -> "ServingSession":
+        """``model_overrides``: ModelConfig fields to set on top of the
+        sidecar config — serving-time knobs with no param-tree effect
+        (e.g. ``{"fused_decode_qkv": True}``, dtype, the Pallas flags)."""
         from mtn_tpu.cli.generate import _split_model_arg
         from mtn_tpu.utils.checkpoint import CheckpointManager
 
@@ -170,6 +174,10 @@ class ServingSession:
         ckpt = CheckpointManager(prefix)
         vocab, conf = ckpt.load_conf()
         model_cfg = config_from_dict("model", conf["model"])
+        for key, val in (model_overrides or {}).items():
+            if not hasattr(model_cfg, key):
+                raise ValueError(f"unknown ModelConfig field {key!r}")
+            setattr(model_cfg, key, val)
         data_cfg = config_from_dict("data", conf["data"])
         params, used_epoch = _restore_params(ckpt, epoch, model_cfg,
                                              data_cfg, vocab)

@@ -752,6 +752,10 @@ def main(argv=None) -> int:
                              "changes (0 = off)")
     parser.add_argument("--mesh-data", default=-1, type=int)
     parser.add_argument("--mesh-model", default=1, type=int)
+    parser.add_argument("--fused-decode-qkv", default=0, type=int,
+                        help="fuse decode-time self-attention q/k/v into "
+                             "one GEMM (opt-in — docs/BENCH.md 'Decode "
+                             "QKV fusion')")
     add_logging_args(parser)
     args = parser.parse_args(argv)
     setup_logging(args.verbose)
@@ -764,8 +768,10 @@ def main(argv=None) -> int:
         top_k=args.top_k, top_p=args.top_p, sample_seed=args.sample_seed,
         turn_batch=args.turn_batch)
     mesh, _ = make_mesh_from_args(args, batch_size=args.turn_batch)
+    overrides = {"fused_decode_qkv": True} if args.fused_decode_qkv else None
     session = ServingSession.from_checkpoint(args.model, decode_cfg,
-                                             mesh=mesh)
+                                             mesh=mesh,
+                                             model_overrides=overrides)
     if args.warmup:
         sec = session.warmup(stream=True)
         logging.info("warmup: decode programs compiled in %.1fs", sec)

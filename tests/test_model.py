@@ -199,3 +199,48 @@ def test_training_is_deterministic():
             run.append(float(m["loss"]))
         losses.append(run)
     assert losses[0] == losses[1]
+
+
+def test_fused_decode_qkv_matches_unfused():
+    """The fused (D, 3D) self-attention projection computes the same
+    dot products as the separate q/k/v projections; the GEMM tiling
+    differs, so agreement is to float noise (~1e-6 f32), not bitwise —
+    which is why the knob is opt-in under the defaults policy
+    (docs/BENCH.md "Decode QKV fusion"). The greedy token chain must
+    be unaffected."""
+    import dataclasses
+    rng = np.random.default_rng(3)
+    db = _random_batch(rng)
+    cfg = dataclasses.replace(tiny_model_cfg(30, (12, 8), dropout=0.0),
+                              fused_decode_qkv=True)
+    cfg_off = dataclasses.replace(cfg, fused_decode_qkv=False)
+    model, model_off = MTN(cfg), MTN(cfg_off)
+    masks, _tgt = batch_masks(db, PAD)
+    params = model.init({"params": jax.random.PRNGKey(0)}, db.query, db.his,
+                        db.cap, db.fts, masks, db.answer_in, _tgt,
+                        method=MTN.init_all)["params"]
+    maxlen = 5
+    state = model.apply({"params": params}, db.query, db.his, db.cap, db.fts,
+                        masks, method=MTN.init_decode_state)
+    kv_a = model.apply({"params": params}, method=MTN.init_self_kv,
+                       batch_size=db.query.shape[0], maxlen=maxlen)
+    kv_b = kv_a
+    prefix = np.full((db.query.shape[0],), SOS, np.int32)
+    step_a = jax.jit(lambda t, p, kv: model.apply(
+        {"params": params}, state, t, p, kv, method=MTN.decode_step))
+    step_b = jax.jit(lambda t, p, kv: model_off.apply(
+        {"params": params}, state, t, p, kv, method=MTN.decode_step))
+    for pos in range(maxlen):
+        la, kv_a = step_a(jnp.asarray(prefix), pos, kv_a)
+        lb, kv_b = step_b(jnp.asarray(prefix), pos, kv_b)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=1e-5, err_msg=f"pos={pos}")
+        for (ka, va), (kb, vb) in zip(kv_a, kv_b):
+            np.testing.assert_allclose(np.asarray(ka), np.asarray(kb),
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                       atol=1e-5)
+        # greedy token chain must not flip
+        np.testing.assert_array_equal(np.argmax(np.asarray(la), axis=-1),
+                                      np.argmax(np.asarray(lb), axis=-1))
+        prefix = np.argmax(np.asarray(la), axis=-1).astype(np.int32)
