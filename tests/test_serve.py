@@ -381,3 +381,30 @@ def test_rank_scores_answer_event_without_sos(served):
     wrapped = [words2ids(c, session.vocab).tolist() for c in cands]
     buggy = session.decoder.rank_batch(session.params, db, [wrapped])[0]
     assert any(b != pytest.approx(w) for b, w in zip(buggy, want))
+
+
+def test_model_overrides_hook(served):
+    """from_checkpoint(model_overrides=...) sets serving-time ModelConfig
+    knobs on top of the sidecar (no param-tree effect) and rejects
+    unknown fields; a fused-QKV session answers identically to the
+    default session on a trained checkpoint (docs/BENCH.md 'Decode QKV
+    fusion')."""
+    prefix, feats = served
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import Request, ServingSession
+    dcfg = DecodeConfig(maxlen=6, beam=2, nbest=2)
+    base = ServingSession.from_checkpoint(prefix + "_best", dcfg)
+    fused = ServingSession.from_checkpoint(
+        prefix + "_best", dcfg, model_overrides={"fused_decode_qkv": True})
+    assert fused.model_cfg.fused_decode_qkv is True
+    req = dict(question="what is the person doing ?",
+               caption="a dog walks", features=feats)
+    assert fused.respond(**req) == base.respond(**req)
+    ranked_f = fused.rank(Request(req["question"], caption=req["caption"],
+                                  features=feats), ["he sits", "a dog"])
+    ranked_b = base.rank(Request(req["question"], caption=req["caption"],
+                                 features=feats), ["he sits", "a dog"])
+    assert [r[2] for r in ranked_f] == [r[2] for r in ranked_b]
+    with pytest.raises(ValueError, match="unknown ModelConfig field"):
+        ServingSession.from_checkpoint(prefix + "_best",
+                                       model_overrides={"nope": 1})
