@@ -114,7 +114,7 @@ def _align_candidates(dataset, cand_data, undisclosed: bool):
 
 def rank_dataset(params, model_cfg, dataset, turn_cands, data_cfg, vocab,
                  turn_batch: int = 4, include_eos: bool = True,
-                 feature_transfer: str = ""):
+                 feature_transfer: str = "", mesh=None, shardings=None):
     """Score every turn's options; returns (scores_per_qa_id, wall, n).
 
     ``turn_cands[qa_id]["answer_options"]`` are the option strings; the
@@ -135,9 +135,10 @@ def rank_dataset(params, model_cfg, dataset, turn_cands, data_cfg, vocab,
     n_opts = max(len(t) for t in tok)
     max_len = max((len(o) for t in tok for o in t), default=0) \
         + (1 if include_eos else 0)
-    decoder = BeamDecoder(model_cfg, DecodeConfig(turn_batch=turn_batch))
+    decoder = BeamDecoder(model_cfg, DecodeConfig(turn_batch=turn_batch),
+                          mesh=mesh)
     transfer = feature_transfer or model_cfg.dtype
-    to_device = to_device_fn(transfer)
+    to_device = to_device_fn(transfer, shardings)
     plans, n = make_batch_indices(dataset, batchsize=turn_batch,
                                   max_length=10 ** 9,
                                   separate_caption=data_cfg.separate_caption)
@@ -217,11 +218,19 @@ def main(argv=None):
     params, used_epoch = ckpt.restore_params(state, epoch)
     logging.info("Restored checkpoint epoch %s", used_epoch)
 
+    from mtn_tpu.cli.common import make_mesh_from_args
+    mesh, shardings = make_mesh_from_args(args, batch_size=args.turn_batch)
+    if mesh is not None:
+        logging.info("ranking under mesh %s", dict(mesh.shape))
+        # params were restored onto one device; lay them out over the mesh
+        # (replicated under pure dp, tp-sharded when --mesh-model > 1)
+        params = shardings.shard_state(params)
     logging.info("--------------------rank--------------------")
     all_scores, wall, n = rank_dataset(
         params, model_cfg, test_data, turn_cands, data_cfg, vocab,
         turn_batch=args.turn_batch, include_eos=bool(args.include_eos),
-        feature_transfer=args.feature_transfer)
+        feature_transfer=args.feature_transfer, mesh=mesh,
+        shardings=shardings)
     n_scored = sum(len(s) for s in all_scores)
     logging.info("scored %d options over %d turns in %.2fs "
                  "(%.1f options/sec)", n_scored, n, wall,

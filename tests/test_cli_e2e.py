@@ -507,3 +507,38 @@ def test_rank_cli_end_to_end(trained, tmp_path):
             "--undisclosed-only", "1",
             "--turn-batch", "4", "--dtype", "float32",
         ])
+
+
+def test_rank_under_mesh_matches_single_device(trained, tmp_path):
+    """--mesh-data ranking (GSPMD dp over the fake 8-device mesh) must
+    reproduce the single-device run: identical ranks and metrics, scores
+    within f32 noise (per-device shapes compile different fusions, so —
+    unlike the beam's token path, which is byte-stable here — raw
+    log-likelihoods can drift at ~1e-5; margin-aware assertion, the
+    round-3 parity lesson)."""
+    corpus, prefix = trained
+    mk = _load_script("make_rank_candidates")
+    cand_path = str(tmp_path / "cands.json")
+    assert mk.main([corpus.lbl_test_set, cand_path, "--last",
+                    "--num-options", "4", "--seed", "5"]) == 0
+    from mtn_tpu.cli.rank import main as rank_main
+    outs = []
+    for name, extra in [("single.json", ["--mesh-data", "1"]),
+                        ("meshed.json", ["--mesh-data", "8"])]:
+        out_path = str(tmp_path / name)
+        rc = rank_main([
+            "--test-path", corpus.fea_path,
+            "--test-set", corpus.test_set,
+            "--model", prefix + "_best",
+            "--candidates", cand_path,
+            "--undisclosed-only", "1",
+            "--output", out_path,
+            "--turn-batch", "4", "--dtype", "float32",
+        ] + extra)
+        assert rc == 0
+        outs.append(json.load(open(out_path)))
+    assert outs[0]["metrics"] == outs[1]["metrics"]
+    for da, db in zip(outs[0]["dialogs"], outs[1]["dialogs"]):
+        for ta, tb in zip(da["dialog"], db["dialog"]):
+            assert ta["gt_rank"] == tb["gt_rank"]
+            assert ta["scores"] == pytest.approx(tb["scores"], abs=1e-4)
