@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--include-eos", default=1, type=int,
                         help="score the answer+<eos> event the generative "
                              "loss trains (0: bare token sequence)")
+    parser.add_argument("--multihost", default="", type=str,
+                        help="join a multi-host run: 'auto' (TPU pod) or "
+                             "'host:port,nprocs,procid' — turn batches "
+                             "shard across hosts and process 0 writes "
+                             "the output (parallel/multihost.py)")
     add_tpu_args(parser)
     add_logging_args(parser)
     return parser
@@ -171,6 +176,9 @@ def main(argv=None):
     from mtn_tpu.cli.common import print_args, setup_logging
     setup_logging(args.verbose)
     print_args(args)
+    if args.multihost:
+        from mtn_tpu.parallel.multihost import initialize_from_flag
+        initialize_from_flag(args.multihost)
     import jax
 
     from mtn_tpu.cli.generate import _split_model_arg
@@ -257,7 +265,9 @@ def main(argv=None):
             "gt_index present on %d/%d turns — retrieval metrics need all "
             "of them; emitting per-turn gt_rank only", len(gt_ranks),
             len(turn_cands))
-    if args.output:
+    # every process holds the full (allgathered) score set; process 0
+    # writes it (hosts share a filesystem on a pod)
+    if args.output and jax.process_index() == 0:
         logging.info("writing ranks to %s", args.output)
         with open(args.output, "w") as f:
             json.dump(result, f, indent=4)

@@ -178,3 +178,64 @@ def test_cli_train_two_processes(tiny_corpus, tmp_path):
     meta = json.load(open(os.path.join(prefix + "_ckpt", "meta.json")))
     assert meta["epochs"] == [1]
     assert len(open(prefix + "_train.csv").read().splitlines()) > 1
+
+
+def test_cli_rank_two_processes(tiny_corpus, tmp_path):
+    """Multi-host discriminative ranking: turn batches shard across 2
+    processes, scores are allgathered, process 0 writes the output.
+    Margin-aware comparison vs the single-process run (ranks/metrics
+    identical; raw log-likelihoods drift ~1e-5 across device layouts —
+    per-device shapes compile different fusions)."""
+    from mtn_tpu.cli.train import main as train_main
+    prefix = str(tmp_path / "mtn")
+    rc = train_main([
+        "--fea-type", "none",
+        "--train-set", tiny_corpus.train_set,
+        "--valid-set", tiny_corpus.valid_set,
+        "--include-caption", "caption,summary", "--separate-caption", "1",
+        "--num-epochs", "1", "--batch-size", "8", "--max-length", "64",
+        "--model", prefix, "--nb-blocks", "1", "--d-model", "16",
+        "--d-ff", "32", "--att-h", "2", "--warmup-steps", "20",
+        "--vocab-cutoff", "0", "--dtype", "float32",
+        "--length-bucket", "8",
+    ])
+    assert rc == 0
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "make_rank_candidates",
+        os.path.join(REPO, "scripts", "make_rank_candidates.py"))
+    mk = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mk)
+    cand_path = str(tmp_path / "cands.json")
+    assert mk.main([tiny_corpus.lbl_test_set, cand_path, "--last",
+                    "--num-options", "4", "--seed", "7"]) == 0
+    rank_args = [
+        "--test-set", tiny_corpus.test_set,
+        "--model", prefix + "_best",
+        "--candidates", cand_path,
+        "--undisclosed-only", "1",
+        "--turn-batch", "8", "--dtype", "float32",
+    ]
+    single_out = str(tmp_path / "single.json")
+    from mtn_tpu.cli.rank import main as rank_main
+    assert rank_main(rank_args + ["--output", single_out]) == 0
+
+    port = _free_port()
+    multi_out = str(tmp_path / "multi.json")
+    env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "mtn_tpu.cli.rank"] + rank_args
+        + ["--output", multi_out, "--mesh-data", "8",
+           "--multihost", f"localhost:{port},2,{pid}"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for pid in range(2)]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-4000:]
+    single, multi = (json.load(open(f)) for f in (single_out, multi_out))
+    assert single["metrics"] == multi["metrics"]
+    for da, db in zip(single["dialogs"], multi["dialogs"]):
+        for ta, tb in zip(da["dialog"], db["dialog"]):
+            assert ta["gt_rank"] == tb["gt_rank"]
+            assert np.allclose(ta["scores"], tb["scores"], atol=1e-4)
