@@ -496,13 +496,27 @@ class BeamDecoder:
         so serving traffic with varying option counts reuses compiled
         programs; padded candidates score 0 and are dropped on output.
         """
+        raw = self.rank_batch_raw(params, batch, candidates,
+                                  include_eos=include_eos,
+                                  len_bucket=len_bucket,
+                                  cand_bucket=cand_bucket)
+        return self.rank_results(raw, batch.valid)
+
+    def rank_batch_raw(self, params, batch: DeviceBatch,
+                       candidates: Sequence[Sequence[Sequence[int]]],
+                       include_eos: bool = True,
+                       len_bucket: int = 8, cand_bucket: int = 8):
+        """Dispatch the rank program asynchronously (the rank analogue of
+        :meth:`beam_batch_raw`); fetch later with :meth:`rank_results` so
+        many batches can be in flight (continuous-batching serving)."""
         B = batch.query.shape[0]
         if len(candidates) != B:
             raise ValueError(
                 f"candidates has {len(candidates)} rows, batch has {B}")
-        n_max = max((len(c) for c in candidates), default=0)
+        n_counts = [len(c) for c in candidates]
+        n_max = max(n_counts, default=0)
         if n_max == 0:
-            return [[] for b in range(B) if bool(np.asarray(batch.valid)[b])]
+            return (None, n_counts)
         extra = 1 if include_eos else 0
         l_max = max((len(t) for c in candidates for t in c), default=0) + extra
         N = max(_round_up_int(n_max, cand_bucket), 1)
@@ -519,9 +533,17 @@ class BeamDecoder:
             self._rank_fns[key] = self._build_rank(N, L)
         scores = self._rank_fns[key](params, batch, jnp.asarray(cand),
                                      jnp.asarray(clen))
-        scores, valid = self._gather(scores, batch.valid)
-        return [[float(s) for s in scores[b][:len(candidates[b])]]
-                for b in range(B) if valid[b]]
+        return (scores, n_counts)
+
+    def rank_results(self, raw, valid) -> List[List[float]]:
+        """Fetch + trim one dispatched rank batch (blocks on the device)."""
+        scores_dev, n_counts = raw
+        if scores_dev is None:  # no candidates anywhere in the batch
+            return [[] for b in range(len(n_counts))
+                    if bool(np.asarray(valid)[b])]
+        scores, valid = self._gather(scores_dev, valid)
+        return [[float(s) for s in scores[b][:n_counts[b]]]
+                for b in range(len(n_counts)) if valid[b]]
 
     # -- streaming ------------------------------------------------------
     def _jit(self, fn):

@@ -272,6 +272,12 @@ class ServingSession:
                       caption=caption, features=features or {})
         return self.respond_batch([req])[0][0]
 
+    def _cand_ids(self, candidates: Sequence[str]) -> List[List[int]]:
+        """Candidate strings -> token-id lists for rank_batch. words2ids
+        wraps with <sos>/<eos>; rank_batch supplies its own <sos> input
+        prefix and (include_eos) <eos> target, so strip both wrappers."""
+        return [words2ids(c, self.vocab)[1:-1].tolist() for c in candidates]
+
     def rank(self, request: Request, candidates: Sequence[str],
              include_eos: bool = True) -> List[Tuple[str, float, int]]:
         """VisDial-style discriminative mode: score the given answer
@@ -296,11 +302,8 @@ class ServingSession:
         hb = encode_requests([request], self.model_cfg, self.data_cfg,
                              self.vocab, self._lb, self._fb)
         db = device_batch(hb, self.model_cfg.dtype)
-        # words2ids wraps with <sos>/<eos>; rank_batch supplies its own
-        # <sos> input prefix and (include_eos) <eos> target, so strip both
-        cand_ids = [words2ids(c, self.vocab)[1:-1].tolist()
-                    for c in candidates]
-        scores = self.decoder.rank_batch(self.params, db, [cand_ids],
+        scores = self.decoder.rank_batch(self.params, db,
+                                         [self._cand_ids(candidates)],
                                          include_eos=include_eos)[0]
         return [(c, s, rank_of(scores, i))
                 for i, (c, s) in enumerate(zip(candidates, scores))]
@@ -375,12 +378,26 @@ class AsyncServer:
         self._thread.start()
 
     def submit(self, request: Request):
+        return self._submit("beam", request, None)
+
+    def submit_rank(self, request: Request, candidates: Sequence[str],
+                    include_eos: bool = True):
+        """Enqueue a discriminative-ranking request; the scheduler packs
+        concurrent rank requests into one tiled rank launch (grouped by
+        include_eos — it changes the scored event). The future resolves
+        to the ``ServingSession.rank`` structure:
+        ``[(candidate, logp, rank), ...]`` in input order."""
+        if not candidates:
+            raise ValueError("no candidates to rank")
+        return self._submit("rank", request, (list(candidates), include_eos))
+
+    def _submit(self, kind, request, extra):
         from concurrent.futures import Future
         if self.max_queue and self._q.qsize() >= self.max_queue:
             raise ServerOverloaded(
                 f"decode queue full ({self.max_queue} requests waiting)")
         fut: Future = Future()
-        self._q.put((request, fut))
+        self._q.put((kind, request, extra, fut))
         return fut
 
     def queue_depth(self) -> int:
@@ -417,53 +434,85 @@ class AsyncServer:
                 break
         return batch
 
-    def _launch(self, pairs):
+    def _launch(self, items):
+        """Launch one homogeneous group (all "beam" or all "rank" with one
+        include_eos — the scheduler partitions before calling)."""
         # Claim each future before doing work: a caller may have
         # cancelled it while it sat in the queue, and set_result on a
         # cancelled future raises InvalidStateError (which would kill
         # this scheduler thread). set_running_or_notify_cancel() both
         # filters those out and makes the survivors uncancellable.
-        pairs = [(r, f) for r, f in pairs
-                 if f.set_running_or_notify_cancel()]
-        if not pairs:
+        items = [it for it in items if it[3].set_running_or_notify_cancel()]
+        if not items:
             return None
+        kind = items[0][0]
         s = self.session
-        reqs = [r for r, _ in pairs]
+        reqs = [r for _, r, _, _ in items]
         hb = encode_requests(reqs, s.model_cfg, s.data_cfg, s.vocab,
                              s._lb, s._fb,
                              pad_rows_to=s.decode_cfg.turn_batch)
         db = device_batch(hb, s.model_cfg.dtype)
-        raw = s.decoder.beam_batch_raw(s.params, db)   # async dispatch
+        if kind == "rank":
+            include_eos = items[0][2][1]
+            cand_ids = [s._cand_ids(extra[0]) for _, _, extra, _ in items]
+            cand_ids += [[] for _ in range(db.query.shape[0] - len(items))]
+            raw = s.decoder.rank_batch_raw(s.params, db, cand_ids,
+                                           include_eos=include_eos)
+        else:
+            raw = s.decoder.beam_batch_raw(s.params, db)  # async dispatch
         self.launches += 1
-        return (pairs, raw, db.valid)
+        return (kind, items, raw, db.valid)
 
     def _drain(self, inflight_item):
-        pairs, raw, valid = inflight_item
+        from mtn_tpu.evalmetrics.retrieval import rank_of
+        kind, items, raw, valid = inflight_item
         s = self.session
         try:
+            if kind == "rank":
+                rows = s.decoder.rank_results(raw, valid)  # blocks
+                for (_, _, extra, fut), scores in zip(items, rows):
+                    if not fut.done():
+                        fut.set_result([
+                            (c, sc, rank_of(scores, i))
+                            for i, (c, sc) in enumerate(zip(extra[0],
+                                                            scores))])
+                return
             results = s.decoder.beam_results(raw, valid)  # blocks
-            for (_, fut), res in zip(pairs, results):
+            for (_, _, _, fut), res in zip(items, results):
                 if not fut.done():
                     fut.set_result(DecodeResult(
                         [(a, float(sc)) for a, sc in
                          res.texts(s.vlist, s.vocab["<eos>"])]))
         except BaseException as e:  # surface device errors to callers
-            for _, fut in pairs:
+            for _, _, _, fut in items:
                 if not fut.done():
                     fut.set_exception(e)
+
+    @staticmethod
+    def _partition(items):
+        """Split a collected FIFO run into homogeneous launch groups:
+        beam items together; rank items grouped by include_eos (it
+        changes the scored event, so groups never mix)."""
+        beams, ranks = [], {}
+        for it in items:
+            if it[0] == "beam":
+                beams.append(it)
+            else:
+                ranks.setdefault(it[2][1], []).append(it)
+        return ([beams] if beams else []) + list(ranks.values())
 
     def _loop(self):
         in_flight = []
         while not self._stop.is_set() or not self._q.empty() or in_flight:
             pairs = [] if (self._stop.is_set() and self._q.empty()) \
                 else self._collect()
-            if pairs:
+            for group in self._partition(pairs):
                 try:
-                    item = self._launch(pairs)
+                    item = self._launch(group)
                     if item is not None:
                         in_flight.append(item)
                 except BaseException as e:  # encode/dispatch failure
-                    for _, fut in pairs:
+                    for _, _, _, fut in group:
                         if not fut.done():
                             fut.set_exception(e)
             # drain when at device capacity, or whenever there is
@@ -476,7 +525,7 @@ class AsyncServer:
         import queue
         while True:
             try:
-                _, fut = self._q.get_nowait()
+                _, _, _, fut = self._q.get_nowait()
             except queue.Empty:
                 break
             if fut.set_running_or_notify_cancel():

@@ -307,8 +307,11 @@ class MTNServer(ThreadingHTTPServer):
 
     def rank_one(self, req: Request, candidates: List[str],
                  include_eos: bool = True):
-        # ranking always takes the lock-serialized path: it runs its own
-        # candidate-tiled program, not the shared beam launch
+        if self.async_server is not None:
+            # continuous batching: concurrent rank requests pack into one
+            # candidate-tiled launch (AsyncServer.submit_rank)
+            return self.async_server.submit_rank(
+                req, candidates, include_eos=include_eos).result()
         with self._admission(), self._lock:
             return self.session.rank(req, candidates,
                                      include_eos=include_eos)

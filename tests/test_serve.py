@@ -408,3 +408,46 @@ def test_model_overrides_hook(served):
     with pytest.raises(ValueError, match="unknown ModelConfig field"):
         ServingSession.from_checkpoint(prefix + "_best",
                                        model_overrides={"nope": 1})
+
+
+def test_async_server_rank_batching(served):
+    """submit_rank packs concurrent rank requests into candidate-tiled
+    launches (grouped apart from beam traffic) and resolves each future
+    with exactly the synchronous ServingSession.rank structure; mixed
+    respond+rank traffic on one AsyncServer works."""
+    prefix, feats = served
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import AsyncServer, Request, ServingSession
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2,
+                                       turn_batch=4))
+    cands = ["he sits on the couch", "a dog walks", "no", "i am not sure"]
+    reqs = [Request(question=q, caption="a man reads a book",
+                    features=feats)
+            for q in ["is there any sound ?", "what is he doing ?",
+                      "does the man speak ?", "is it a long video ?",
+                      "are there people ?", "is there music playing ?"]]
+    sync = [session.rank(r, cands) for r in reqs]
+    sync_noeos = session.rank(reqs[0], cands, include_eos=False)
+    sync_ans = session.respond_batch([reqs[0]])[0]
+
+    srv = AsyncServer(session, max_in_flight=2, max_wait_ms=300)
+    futs = [srv.submit_rank(r, cands) for r in reqs]
+    # mixed traffic: a beam request and a different include_eos group
+    fut_beam = srv.submit(reqs[0])
+    fut_noeos = srv.submit_rank(reqs[0], cands, include_eos=False)
+    got = [f.result(timeout=300) for f in futs]
+    srv.stop()
+    for s, g in zip(sync, got):
+        assert [c for c, _, _ in g] == cands
+        assert [r for _, _, r in g] == [r for _, _, r in s]
+        for (_, gs, _), (_, ss, _) in zip(g, s):
+            assert gs == pytest.approx(ss, abs=1e-5)
+    # 6 rank requests, cap 4 → at most 2 rank launches (+1 beam, +1
+    # no-eos group); timing-dependent upper bound
+    assert srv.launches <= 5, srv.launches
+    assert fut_beam.result(timeout=300)[0] == sync_ans[0]
+    g = fut_noeos.result(timeout=300)
+    assert [r for _, _, r in g] == [r for _, _, r in sync_noeos]
+    with pytest.raises(ValueError):
+        srv.submit_rank(reqs[0], [])
