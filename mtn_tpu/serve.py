@@ -146,13 +146,20 @@ class ServingSession:
     """Single-model interactive decoder (thread-unsafe; one per worker)."""
 
     def __init__(self, params, model_cfg, data_cfg, vocab: Dict[str, int],
-                 decode_cfg: Optional[DecodeConfig] = None, mesh=None):
+                 decode_cfg: Optional[DecodeConfig] = None, mesh=None,
+                 feature_transfer: str = ""):
         self.params = params
         self.model_cfg = model_cfg
         self.data_cfg = data_cfg
         self.vocab = vocab
         self.vlist = vocab_list(vocab)
         self.decode_cfg = decode_cfg or DecodeConfig()
+        # Host->device feature wire format (same knob as the generate
+        # CLI's --feature_transfer): "" follows the model compute dtype;
+        # "int8" ships quantized features + f32 row scales (~1/4 the
+        # bytes, error <= 1/254 per frame) for transfer-bound hosts —
+        # docs/BENCH.md "Feature transfer".
+        self.feature_dtype = feature_transfer or model_cfg.dtype
         self.decoder = BeamDecoder(model_cfg, self.decode_cfg, mesh=mesh)
         self._lb = max(self.data_cfg.length_bucket, 1)
         self._fb = max(self.data_cfg.feature_bucket, 1)
@@ -162,11 +169,13 @@ class ServingSession:
     @classmethod
     def from_checkpoint(cls, model_arg: str,
                         decode_cfg: Optional[DecodeConfig] = None,
-                        mesh=None, model_overrides: Optional[Dict] = None
-                        ) -> "ServingSession":
+                        mesh=None, model_overrides: Optional[Dict] = None,
+                        feature_transfer: str = "") -> "ServingSession":
         """``model_overrides``: ModelConfig fields to set on top of the
         sidecar config — serving-time knobs with no param-tree effect
-        (e.g. ``{"fused_decode_qkv": True}``, dtype, the Pallas flags)."""
+        (e.g. ``{"fused_decode_qkv": True}``, dtype, the Pallas flags).
+        ``feature_transfer``: feature wire format ("", "bfloat16",
+        "int8") — see :class:`ServingSession`."""
         from mtn_tpu.cli.generate import _split_model_arg
         from mtn_tpu.utils.checkpoint import CheckpointManager
 
@@ -182,7 +191,7 @@ class ServingSession:
         params, used_epoch = _restore_params(ckpt, epoch, model_cfg,
                                              data_cfg, vocab)
         session = cls(params, model_cfg, data_cfg, vocab, decode_cfg,
-                      mesh=mesh)
+                      mesh=mesh, feature_transfer=feature_transfer)
         session.model_arg = model_arg
         session.epoch = used_epoch
         return session
@@ -247,7 +256,7 @@ class ServingSession:
         hb = encode_requests(requests, self.model_cfg, self.data_cfg,
                              self.vocab, self._lb, self._fb,
                              pad_rows_to=rows)
-        db = device_batch(hb, self.model_cfg.dtype)
+        db = device_batch(hb, self.feature_dtype)
         from mtn_tpu.decode.beam import detokenize
         style = self.decode_cfg.decode_style
         if style in ("greedy", "sample"):
@@ -301,7 +310,7 @@ class ServingSession:
         # only per candidate-count bucket.
         hb = encode_requests([request], self.model_cfg, self.data_cfg,
                              self.vocab, self._lb, self._fb)
-        db = device_batch(hb, self.model_cfg.dtype)
+        db = device_batch(hb, self.feature_dtype)
         scores = self.decoder.rank_batch(self.params, db,
                                          [self._cand_ids(candidates)],
                                          include_eos=include_eos)[0]
@@ -321,7 +330,7 @@ class ServingSession:
         hb = encode_requests([request], self.model_cfg, self.data_cfg,
                              self.vocab, self._lb, self._fb,
                              pad_rows_to=self.decode_cfg.turn_batch)
-        db = device_batch(hb, self.model_cfg.dtype)
+        db = device_batch(hb, self.feature_dtype)
         fold = 0
         if style == "sample":
             fold = self._sample_calls
@@ -451,7 +460,7 @@ class AsyncServer:
         hb = encode_requests(reqs, s.model_cfg, s.data_cfg, s.vocab,
                              s._lb, s._fb,
                              pad_rows_to=s.decode_cfg.turn_batch)
-        db = device_batch(hb, s.model_cfg.dtype)
+        db = device_batch(hb, s.feature_dtype)
         if kind == "rank":
             include_eos = items[0][2][1]
             cand_ids = [s._cand_ids(extra[0]) for _, _, extra, _ in items]

@@ -759,6 +759,13 @@ def main(argv=None) -> int:
                         help="fuse decode-time self-attention q/k/v into "
                              "one GEMM (opt-in — docs/BENCH.md 'Decode "
                              "QKV fusion')")
+    parser.add_argument("--feature-transfer", default="",
+                        choices=["", "bfloat16", "int8"],
+                        help="host->device feature wire format (default: "
+                             "the model compute dtype; int8 ships "
+                             "quantized features + f32 row scales, ~1/4 "
+                             "the bytes, <=1/254 per-frame rounding — "
+                             "docs/BENCH.md 'Feature transfer')")
     add_logging_args(parser)
     args = parser.parse_args(argv)
     setup_logging(args.verbose)
@@ -772,9 +779,9 @@ def main(argv=None) -> int:
         turn_batch=args.turn_batch)
     mesh, _ = make_mesh_from_args(args, batch_size=args.turn_batch)
     overrides = {"fused_decode_qkv": True} if args.fused_decode_qkv else None
-    session = ServingSession.from_checkpoint(args.model, decode_cfg,
-                                             mesh=mesh,
-                                             model_overrides=overrides)
+    session = ServingSession.from_checkpoint(
+        args.model, decode_cfg, mesh=mesh, model_overrides=overrides,
+        feature_transfer=args.feature_transfer)
     if args.warmup:
         sec = session.warmup(stream=True)
         logging.info("warmup: decode programs compiled in %.1fs", sec)

@@ -1,7 +1,7 @@
 """Serving-latency benchmark on a trained checkpoint (real TPU).
 
 Usage: python scripts/bench_serve.py <model_prefix[_best]> [n_iters]
-           [--http] [--stream]
+           [--http] [--stream] [--int8]
 
 Measures ServingSession end-to-end latency (host encode + upload + beam
 + download) for single interactive turns and a turn_batch-sized burst,
@@ -12,7 +12,10 @@ and 64 concurrent clients — to price the network layer vs the direct
 AsyncServer path. With --stream, measures the token-streaming path:
 time-to-first-token and per-token inter-arrival (each streamed step is
 one device round-trip — the interactive-latency trade the batch
-decoders don't pay). Prints one JSON line.
+decoders don't pay). With --int8, re-runs the single-turn and async-64
+measurements on a session built with feature_transfer="int8" (the
+serving wire-format knob) for a same-process A/B against the default
+f32 upload. Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     do_http = "--http" in sys.argv[1:]
     do_stream = "--stream" in sys.argv[1:]
+    do_int8 = "--int8" in sys.argv[1:]
     model_arg = args[0]
     iters = int(args[1]) if len(args) > 1 else N_ITERS
 
@@ -90,6 +94,28 @@ def main():
     srv.stop()
     out["async64_rps"] = round(64 / sec, 1)
     out["async64_launches"] = srv.launches
+
+    if do_int8:
+        # A/B the int8 feature wire format (~1/4 the upload bytes) on
+        # the same paths: sequential single turns + async-64.
+        s8 = ServingSession.from_checkpoint(
+            model_arg, DecodeConfig(maxlen=30, beam=5, nbest=5),
+            feature_transfer="int8")
+        s8.respond_batch([make_request(998)])               # compile
+        lat = []
+        for i in range(iters):
+            t0 = time.time()
+            _ = s8.respond_batch([make_request(i)])
+            lat.append(time.time() - t0)
+        out["p50_ms_int8"] = round(1e3 * float(np.percentile(lat, 50)), 1)
+        srv8 = AsyncServer(s8, max_in_flight=3, max_wait_ms=5)
+        t0 = time.time()
+        futs = [srv8.submit(r) for r in reqs]
+        _ = [f.result(timeout=600) for f in futs]
+        sec = time.time() - t0
+        srv8.stop()
+        out["async64_rps_int8"] = round(64 / sec, 1)
+        out["async64_launches_int8"] = srv8.launches
 
     if do_stream:
         # token streaming: TTFT (prefix program + first step + fetch)

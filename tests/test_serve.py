@@ -37,6 +37,27 @@ def test_serving_session_from_trained_checkpoint(served):
     assert isinstance(ans2, str)
 
 
+def test_serving_feature_transfer_int8(served):
+    """feature_transfer='int8' (the generate CLI's transfer knob, now on
+    the serving surface): zero-feature requests quantize exactly, so the
+    int8 session must decode bit-identically to the default session;
+    real-feature requests decode through the quantized wire format."""
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import Request, ServingSession
+    prefix, feats = served
+    dcfg = DecodeConfig(maxlen=6, beam=2, nbest=2)
+    base = ServingSession.from_checkpoint(prefix + "_best", dcfg)
+    q8 = ServingSession.from_checkpoint(prefix + "_best", dcfg,
+                                        feature_transfer="int8")
+    req = Request(question="is there any sound ?")  # zero-filled streams
+    a, b = base.respond_batch([req])[0], q8.respond_batch([req])[0]
+    assert a[0] == b[0] and a[1] == b[1]
+    # real features: <=1/254 per-frame rounding; answers stay well-formed
+    out = q8.respond_batch([Request(question="what is he doing ?",
+                                    features=feats)])[0]
+    assert isinstance(out[0], str) and isinstance(out[1], float)
+
+
 def test_serving_sample_style(served):
     prefix, feats = served
     from mtn_tpu.config import DecodeConfig
