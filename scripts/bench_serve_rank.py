@@ -7,7 +7,10 @@ VisDial protocol (100 options/turn). Uses the flagship config with
 random params and a synthetic vocab (the serving cost is shape-, not
 value-dependent; bench.py uses the same device).
 
-Usage: python scripts/bench_serve_rank.py   (real TPU, axon env)
+Usage: python scripts/bench_serve_rank.py [--int8]   (real TPU, axon env)
+
+--int8 re-runs the concurrent measurement with feature_transfer="int8"
+(the serving wire-format knob) for a same-process A/B.
 """
 
 from __future__ import annotations
@@ -92,6 +95,24 @@ def main():
     print(f"AsyncServer submit_rank : {con_ops:8.1f} options/sec "
           f"({N_REQUESTS / con_s:5.2f} turns/sec, {srv.launches} launches)")
     print(f"speedup: {con_ops / seq_ops:.2f}x")
+
+    if "--int8" in sys.argv[1:]:
+        s8 = ServingSession(params, cfg, data_cfg, vocab,
+                            DecodeConfig(turn_batch=TURN_BATCH),
+                            feature_transfer="int8")
+        srv8 = AsyncServer(s8, max_in_flight=3, max_wait_ms=5)
+        [f.result() for f in [srv8.submit_rank(r, cands)
+                              for r in reqs[:TURN_BATCH]]]   # warmup
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            futs = list(ex.map(lambda r: srv8.submit_rank(r, cands), reqs))
+        _ = [f.result(timeout=600) for f in futs]
+        i8_s = time.time() - t0
+        srv8.stop()
+        i8_ops = N_REQUESTS * N_OPTIONS / i8_s
+        print(f"submit_rank int8 wire   : {i8_ops:8.1f} options/sec "
+              f"({N_REQUESTS / i8_s:5.2f} turns/sec, "
+              f"{srv8.launches} launches)")
 
 
 if __name__ == "__main__":
