@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="also save a rotating step-indexed checkpoint "
                              "every N train steps (resume with "
                              "--resume step)")
+    parser.add_argument("--async-save", default=0, type=int,
+                        help="non-blocking checkpoint writes: save() "
+                             "returns once arrays are copied off-device; "
+                             "the disk write + best-pointer commit overlap "
+                             "the next epoch's training (identical "
+                             "artifacts; meta.json lags until the next "
+                             "checkpoint op or end of training)")
     parser.add_argument("--remat", default=0, type=int,
                         help="rematerialize decoder layers in backward "
                              "(jax.checkpoint): ~1 extra forward of FLOPs "
@@ -217,7 +224,7 @@ def main(argv=None):
 
     primary = jax.process_index() == 0
     os.makedirs(os.path.dirname(args.model) or ".", exist_ok=True)
-    ckpt = CheckpointManager(args.model)
+    ckpt = CheckpointManager(args.model, async_save=bool(args.async_save))
     ckpt.save_conf(vocab, model=model_cfg, data=data_cfg, train=train_cfg)
     if primary:
         dump_params_txt(args.model + "_params.txt", vars(args))
@@ -321,6 +328,7 @@ def main(argv=None):
                 logging.info("----------------")
                 break
             logging.info("----------------")
+    ckpt.flush()  # async mode: last save durable + meta-visible on exit
     logging.info("the best model is epoch %d.", bestmodel_num)
     return 0
 

@@ -28,12 +28,39 @@ class CheckpointManager:
     — correct for the shared-filesystem layout of a TPU pod
     (parallel/multihost.py)."""
 
-    def __init__(self, model_prefix: str):
+    def __init__(self, model_prefix: str, async_save: bool = False):
         self.prefix = model_prefix
         self.dir = os.path.abspath(model_prefix + "_ckpt")
         os.makedirs(self.dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
         self._meta_path = os.path.join(self.dir, "meta.json")
+        # async_save: orbax's StandardCheckpointer is an AsyncCheckpointer
+        # whose save() returns once the arrays are copied OFF the device
+        # (so donated training buffers may be reused immediately); the
+        # disk write runs in a background thread. In async mode the
+        # wait + meta/best-pointer commit are deferred until the next
+        # checkpoint operation (any save/restore/meta read) or an
+        # explicit flush(), taking the write off the training critical
+        # path. The artifact is identical to a blocking save; only
+        # crash visibility differs (a crash before the commit leaves the
+        # last epoch's files on disk but unreferenced by meta.json).
+        self.async_save = async_save
+        self._pending = None  # deferred commit closure
+
+    def _finalize_pending(self):
+        """Complete an in-flight async save: block until the write is
+        durable, then run its deferred meta commit (collective: every
+        process calls this at the same points, so barriers line up)."""
+        if self._pending is None:
+            return
+        fn, self._pending = self._pending, None
+        self._ckptr.wait_until_finished()
+        fn()
+
+    def flush(self):
+        """Public finalize — call at end of training (and before process
+        exit) so the last async save is durable and meta-visible."""
+        self._finalize_pending()
 
     @staticmethod
     def _primary() -> bool:
@@ -67,12 +94,20 @@ class CheckpointManager:
 
     def save(self, epoch, state: TrainState, val_loss: Optional[float] = None,
              keep: int = 0):
+        self._finalize_pending()
         path = self._epoch_dir(epoch)
         if self._primary() and os.path.exists(path):
             shutil.rmtree(path)
         self._barrier(f"ckpt_epoch_rm_{epoch}")
         self._ckptr.save(path, state)
+        if self.async_save:
+            self._pending = lambda: self._commit_epoch(epoch, val_loss, keep)
+            return
         self._ckptr.wait_until_finished()
+        self._commit_epoch(epoch, val_loss, keep)
+
+    def _commit_epoch(self, epoch, val_loss, keep):
+        """Meta/best-pointer/prune mutations for a durable epoch save."""
         if not self._primary():
             self._barrier(f"ckpt_epoch_meta_{epoch}")
             return
@@ -98,6 +133,10 @@ class CheckpointManager:
         self._barrier(f"ckpt_epoch_meta_{epoch}")
 
     def _meta(self) -> dict:
+        # reads see a consistent view: any in-flight async save commits
+        # first (no-op re-entrantly — _finalize_pending clears _pending
+        # before running the commit, which itself calls _meta)
+        self._finalize_pending()
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as f:
                 return json.load(f)
@@ -115,27 +154,39 @@ class CheckpointManager:
         (cli/train.py, pipeline.BatchIterator seed_key), the resumed run
         reproduces an uninterrupted run bit-for-bit.
         """
+        self._finalize_pending()
         path = os.path.join(self.dir, "step_latest")
         tmp = path + ".tmp"
+        step = int(state.step)  # fetch now: state may be donated later
         if self._primary() and os.path.exists(tmp):
             shutil.rmtree(tmp)
-        self._barrier(f"ckpt_step_rm_{int(state.step)}")
+        self._barrier(f"ckpt_step_rm_{step}")
         self._ckptr.save(tmp, state)
+        if self.async_save:
+            self._pending = lambda: self._commit_step(step, epoch,
+                                                      int(batch_idx))
+            return
         self._ckptr.wait_until_finished()
+        self._commit_step(step, epoch, int(batch_idx))
+
+    def _commit_step(self, step: int, epoch: int, batch_idx: int):
+        """tmp -> step_latest rename + meta, once the write is durable."""
+        path = os.path.join(self.dir, "step_latest")
         if self._primary():
             if os.path.exists(path):
                 shutil.rmtree(path)
-            os.rename(tmp, path)
+            os.rename(path + ".tmp", path)
             meta = self._meta()
-            meta["step"] = int(state.step)
+            meta["step"] = step
             meta["step_epoch"] = epoch
-            meta["step_batch"] = int(batch_idx)
+            meta["step_batch"] = batch_idx
             with open(self._meta_path, "w") as f:
                 json.dump(meta, f)
-        self._barrier(f"ckpt_step_meta_{int(state.step)}")
+        self._barrier(f"ckpt_step_meta_{step}")
 
     def restore_step(self, abstract_state: TrainState):
         """Returns (state, epoch_of_interruption, batches_consumed)."""
+        self._finalize_pending()
         path = os.path.join(self.dir, "step_latest")
         if not os.path.exists(path):
             raise FileNotFoundError(f"no step checkpoint under {self.dir}")
@@ -153,6 +204,7 @@ class CheckpointManager:
 
     def restore(self, abstract_state: TrainState,
                 epoch="best") -> Tuple[TrainState, Any]:
+        self._finalize_pending()
         if epoch == "best":
             epoch = self.best_epoch()
         elif epoch == "latest":
@@ -173,6 +225,7 @@ class CheckpointManager:
         never need the training hyperparameters. Full-state ``restore``
         above (train resume) still requires the matching optimizer.
         """
+        self._finalize_pending()
         if epoch == "best":
             epoch = self.best_epoch()
         elif epoch == "latest":

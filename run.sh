@@ -76,6 +76,8 @@ remat=1                 # 1 (default): rematerialize decoder layers in
 grad_clip=0.0           # >0: clip gradients to this global L2 norm
 patience=0              # >0: early-stop after N epochs without a new
                         # best validation loss
+async_save=0            # 1: non-blocking checkpoint writes (disk write
+                        # overlaps the next epoch; identical artifacts)
 uniform_shapes_decode=1 # 1: single compiled beam program (pad to maxima)
 early_stop=1            # beam loop exits once n-bests provably fixed
                         # (output-identical, 1.32x measured; 0 = full scan)
@@ -171,7 +173,8 @@ if [ $stage -le 2 ]; then
       --accum-steps ${accum_steps} \
       --remat ${remat} \
       --grad-clip ${grad_clip} \
-      --patience ${patience}
+      --patience ${patience} \
+      --async-save ${async_save}
 fi
 
 # testing phase

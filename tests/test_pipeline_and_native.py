@@ -323,6 +323,68 @@ def test_checkpoint_keep_prunes_meta(tmp_path, ds):
     assert 4 in meta["epochs"]
 
 
+def test_async_save_defers_commit_and_matches_sync(tmp_path, ds):
+    """--async-save: save() returns before the meta/best-pointer commit
+    (the disk write overlaps the caller's next work); any later
+    checkpoint op finalizes it, and the restored artifact is identical
+    to a blocking save of the same state."""
+    from mtn_tpu.data.batching import make_batch
+    from mtn_tpu.train.batch import device_batch
+    from mtn_tpu.train.trainer import Trainer
+    from mtn_tpu.utils.checkpoint import CheckpointManager
+    from tests.fixtures import tiny_model_cfg
+    plans, _ = make_batch_indices(ds, 4, 64, separate_caption=True)
+    db = device_batch(make_batch(ds, plans[0], separate_caption=True))
+    cfg = tiny_model_cfg(len(ds.vocab), ds.feature_dims(), dropout=0.0)
+    tr = Trainer(cfg, TrainConfig(warmup_steps=10))
+    st = tr.init_state(jax.random.PRNGKey(0), db)
+    st, _ = tr.train_step(st, db, jax.random.PRNGKey(1))
+
+    ck_a = CheckpointManager(str(tmp_path / "a"), async_save=True)
+    ck_s = CheckpointManager(str(tmp_path / "s"))
+    ck_a.save(1, st, val_loss=5.0)
+    # commit deferred: meta.json is only written by the finalize step
+    assert not os.path.exists(os.path.join(str(tmp_path / "a") + "_ckpt",
+                                           "meta.json"))
+    assert ck_a.latest_epoch() == 1        # any read finalizes first
+    ck_s.save(1, st, val_loss=5.0)
+    ra, _ = ck_a.restore(st, "best")
+    rs, _ = ck_s.restore(st, "best")
+    for a, b in zip(jax.tree.leaves(ra.params), jax.tree.leaves(rs.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a second async save finalizes the first implicitly; flush() makes
+    # the last one durable + meta-visible (the CLI calls it at exit)
+    st2, _ = tr.train_step(st, db, jax.random.PRNGKey(2))
+    ck_a.save(2, st2, val_loss=4.0)
+    ck_a.flush()
+    assert ck_a.best_epoch() == 2 and ck_a.latest_epoch() == 2
+
+
+def test_async_step_checkpoint_rotates(tmp_path, ds):
+    """Async rotating step checkpoints: the tmp->step_latest rename is
+    deferred until the write is durable; back-to-back saves and the
+    restore finalize in order."""
+    from mtn_tpu.data.batching import make_batch
+    from mtn_tpu.train.batch import device_batch
+    from mtn_tpu.train.trainer import Trainer
+    from mtn_tpu.utils.checkpoint import CheckpointManager
+    from tests.fixtures import tiny_model_cfg
+    plans, _ = make_batch_indices(ds, 4, 64, separate_caption=True)
+    db = device_batch(make_batch(ds, plans[0], separate_caption=True))
+    cfg = tiny_model_cfg(len(ds.vocab), ds.feature_dims(), dropout=0.0)
+    tr = Trainer(cfg, TrainConfig(warmup_steps=10))
+    st = tr.init_state(jax.random.PRNGKey(0), db)
+    st, _ = tr.train_step(st, db, jax.random.PRNGKey(1))
+    ck = CheckpointManager(str(tmp_path / "m"), async_save=True)
+    ck.save_step(st, epoch=1, batch_idx=3)
+    ck.save_step(st, epoch=1, batch_idx=9)  # finalizes the first
+    restored, ep, bi = ck.restore_step(st)  # finalizes the second
+    assert ep == 1 and bi == 9 and int(restored.step) == int(st.step)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(st.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_int8_feature_transfer_close_and_decodes(ds):
     """--feature-transfer int8: quantized transfer + on-device dequant
     must stay within the row-absmax quantization bound and leave the
