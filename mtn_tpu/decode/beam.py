@@ -74,6 +74,32 @@ class BeamResult:
                 for t, s in zip(self.tokens, self.scores)]
 
 
+def completions_to_results(comp_scores, comp_buf, comp_len,
+                           valid) -> List[BeamResult]:
+    """Host-side conversion of the beam program's completion pool
+    (``(B, nbest)`` scores, ``(B, nbest, maxlen+1)`` token buffers with
+    the <sos> prefix, ``(B, nbest)`` lengths) into one :class:`BeamResult`
+    per *valid* row. Module-level (no model needed) so AOT-deserialized
+    decode programs (utils/aot.py) share the exact law with the live
+    decoder, including the reference's empty-pool fallback
+    (data_utils.py:241-242)."""
+    results = []
+    for b in range(comp_scores.shape[0]):
+        if not valid[b]:
+            continue
+        toks, scs = [], []
+        for n in range(comp_scores.shape[1]):
+            if comp_scores[b, n] <= NEG_INF / 2:
+                continue
+            L = int(comp_len[b, n])
+            toks.append([int(t) for t in comp_buf[b, n, 1:L + 1]])
+            scs.append(float(comp_scores[b, n]))
+        if not toks:  # reference fallback (data_utils.py:241-242)
+            toks, scs = [[]], [0.0]
+        results.append(BeamResult(tokens=toks, scores=scs))
+    return results
+
+
 class BeamDecoder:
     def __init__(self, model_cfg: ModelConfig, decode_cfg: DecodeConfig,
                  pad: int = SPECIALS["<blank>"], sos: int = SPECIALS["<sos>"],
@@ -404,21 +430,7 @@ class BeamDecoder:
         """Fetch + convert one dispatched batch (blocks on the device)."""
         comp_scores, comp_buf, comp_len, valid = self._gather(
             raw[0], raw[1], raw[2], valid)
-        results = []
-        for b in range(comp_scores.shape[0]):
-            if not valid[b]:
-                continue
-            toks, scs = [], []
-            for n in range(comp_scores.shape[1]):
-                if comp_scores[b, n] <= NEG_INF / 2:
-                    continue
-                L = int(comp_len[b, n])
-                toks.append([int(t) for t in comp_buf[b, n, 1:L + 1]])
-                scs.append(float(comp_scores[b, n]))
-            if not toks:  # reference fallback (data_utils.py:241-242)
-                toks, scs = [[]], [0.0]
-            results.append(BeamResult(tokens=toks, scores=scs))
-        return results
+        return completions_to_results(comp_scores, comp_buf, comp_len, valid)
 
     def beam_batch(self, params, batch: DeviceBatch) -> List[BeamResult]:
         """Beam-decode every row; returns one BeamResult per *valid* row."""

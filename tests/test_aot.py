@@ -1,0 +1,117 @@
+"""AOT decode export (utils/aot.py): jax.export artifact round-trip.
+
+The exported program is the live beam program serialized, so on the same
+platform the deserialized artifact must decode bit-identically to a
+``ServingSession`` running at the same frozen shapes. The reference has
+no deployment artifact at all (serving = re-running generate.py over
+pickled nn.Modules, generate.py:93-117)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def artifact(served, tmp_path_factory):
+    """Exported artifact + matching live session, shared decode config."""
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import ServingSession
+    from mtn_tpu.utils.aot import export_decode
+
+    prefix, feats = served
+    dcfg = DecodeConfig(maxlen=6, beam=2, nbest=2, turn_batch=4)
+    art = str(tmp_path_factory.mktemp("aot") / "artifact")
+    meta = export_decode(prefix + "_best", art, batch=4, query_len=16,
+                         his_len=32, cap_len=16, frames=[8, 8],
+                         decode_cfg=dcfg, platforms=("cpu", "tpu"))
+    live = ServingSession.from_checkpoint(prefix + "_best", dcfg)
+    return art, meta, live, feats
+
+
+def _requests(feats):
+    from mtn_tpu.serve import Request
+    return [
+        Request(question="what is he doing ?", caption="a dog walks",
+                features=feats),
+        Request(question="are there people ?",
+                history=[("what is it ?", "a cat")]),
+        Request(question="is it raining ?"),
+    ]
+
+
+def test_artifact_matches_live_session(artifact):
+    """Deserialized decode == live decode, token-for-token and
+    score-for-score: it is the same traced program. The live batch is
+    padded to the SAME frozen shapes the artifact was exported with
+    (uniform-shapes law), so the comparison is bitwise, not tolerance."""
+    from mtn_tpu.decode.beam import completions_to_results
+    from mtn_tpu.serve import encode_requests
+    from mtn_tpu.train.batch import device_batch
+    from mtn_tpu.utils.aot import AotSession
+
+    art, meta, live, feats = artifact
+    session = AotSession(art)
+    reqs = _requests(feats)
+    aot_out = session.respond_batch(reqs)
+
+    # drive the live decoder at the artifact's frozen shapes
+    hb = encode_requests(reqs, live.model_cfg, live.data_cfg, live.vocab,
+                         pad_rows_to=meta["batch"])
+    import dataclasses
+    hb = dataclasses.replace(
+        hb,
+        query=session._fit_tokens(hb.query, meta["query_len"], "query"),
+        his=session._fit_tokens(hb.his, meta["his_len"], "his"),
+        cap=session._fit_tokens(hb.cap, meta["cap_len"], "cap"),
+        fts=[session._fit_features(f, l, T)[0] for f, l, T in
+             zip(hb.fts, hb.fts_len, meta["frames"])],
+        fts_len=[session._fit_features(f, l, T)[1] for f, l, T in
+                 zip(hb.fts, hb.fts_len, meta["frames"])])
+    raw = live.decoder.beam_batch_raw(live.params, device_batch(hb))
+    ref = completions_to_results(np.asarray(raw[0]), np.asarray(raw[1]),
+                                 np.asarray(raw[2]), hb.valid)
+    ref_out = [[(a, float(s)) for a, s in r.texts(live.vlist)] for r in ref]
+    assert aot_out == ref_out
+    # and deterministic across calls
+    assert session.respond_batch(reqs) == aot_out
+
+
+def test_artifact_is_hermetic_and_chunks(artifact):
+    """Loading reads only the artifact dir (no checkpoint access), and
+    batches beyond the exported row count are chunked transparently."""
+    from mtn_tpu.serve import Request
+    from mtn_tpu.utils.aot import AotSession
+
+    art, meta, live, feats = artifact
+    assert sorted(os.listdir(art)) == [
+        "conf.json", "decode.jaxexport", "meta.json", "vocab.json"]
+    session = AotSession(art)
+    reqs = [Request(question=f"is there a {w} ?")
+            for w in ("dog", "cat", "man", "book", "couch", "sound")]
+    out = session.respond_batch(reqs)  # 6 rows > exported batch of 4
+    assert len(out) == 6
+    # identical questions across chunk boundaries decode identically
+    dup = session.respond_batch([reqs[0], reqs[5], reqs[0]])
+    assert dup[0] == dup[2]
+    # oversize query is a clear error, not silent truncation
+    with pytest.raises(ValueError, match="exceeds the exported"):
+        session.respond_batch(
+            [Request(question="why " * (meta["query_len"] + 4))])
+
+
+def test_aot_cli(artifact, capsys):
+    from mtn_tpu.utils.aot import main
+
+    art, meta, live, feats = artifact
+    assert main(["info", art]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["platforms"] == ["cpu", "tpu"]
+    assert info["batch"] == 4
+    assert main(["run", art, "--question", "what is he doing ?"]) == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines and all("answer" in ln and "score" in ln for ln in lines)
