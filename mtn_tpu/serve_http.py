@@ -84,6 +84,16 @@ connection. ``beam_search`` sessions route every request through
 free). ``greedy``/``sample`` sessions serialize behind a lock —
 ``ServingSession`` is thread-unsafe and the sample path advances an rng
 fold counter.
+
+AOT mode: ``--aot <dir>`` serves an exported deployment artifact
+(``python -m mtn_tpu.utils.aot export``) instead of a checkpoint — the
+server starts hermetically (no Orbax restore, no flax module, no
+re-trace; the frozen beam program is deserialized straight into XLA).
+``/v1/respond``/``/v1/respond_batch`` and all observability/drain
+routes work identically (requests serialize behind the session lock at
+the artifact's exported batch size); the live-only surfaces —
+``/v1/rank``, ``/v1/stream``, ``/admin/reload`` — answer **501** with
+an explanatory message. ``/stats`` reports ``"aot": true``.
 """
 
 from __future__ import annotations
@@ -105,6 +115,14 @@ from mtn_tpu.serve import (AsyncServer, Request, ServerOverloaded,
 
 class BadRequest(ValueError):
     """Client-side error -> HTTP 400 with the message."""
+
+
+class NotSupported(Exception):
+    """Route not available for this session type -> HTTP 501.
+
+    AOT artifact sessions (``--aot``, :class:`mtn_tpu.utils.aot.
+    AotSession`) carry only the frozen beam program — ranking,
+    streaming, and hot-reload need the live checkpoint session."""
 
 
 def _parse_features(obj) -> Dict[str, np.ndarray]:
@@ -260,7 +278,11 @@ class MTNServer(ThreadingHTTPServer):
         self.max_queue = max_queue
         self.draining = False
         self.async_server: Optional[AsyncServer] = None
-        if session.decode_cfg.decode_style == "beam_search":
+        # AOT sessions run the frozen exported program behind the plain
+        # session lock (AsyncServer drives the live decoder's raw
+        # dispatch/drain split, which an artifact does not expose)
+        if (session.decode_cfg.decode_style == "beam_search"
+                and not getattr(session, "is_aot", False)):
             self.async_server = AsyncServer(
                 session, max_in_flight=max_in_flight,
                 max_wait_ms=max_wait_ms, max_queue=max_queue)
@@ -307,6 +329,10 @@ class MTNServer(ThreadingHTTPServer):
 
     def rank_one(self, req: Request, candidates: List[str],
                  include_eos: bool = True):
+        if not hasattr(self.session, "rank"):
+            raise NotSupported(
+                "ranking needs a live checkpoint session (--model); the "
+                "AOT artifact exports only the beam-decode program")
         if self.async_server is not None:
             # continuous batching: concurrent rank requests pack into one
             # candidate-tiled launch (AsyncServer.submit_rank)
@@ -358,6 +384,8 @@ class MTNServer(ThreadingHTTPServer):
             "model": (os.path.basename(self.session.model_arg)
                       if getattr(self.session, "model_arg", None) else None),
             "epoch": self.session.epoch,
+            # hermetic-artifact sessions (serve_http --aot) vs live ones
+            "aot": bool(getattr(self.session, "is_aot", False)),
             "latency": self.latency.summary(),
         }
 
@@ -617,6 +645,11 @@ class _Handler(BaseHTTPRequestHandler):
                 model = body.get("model")
                 if model is not None and not isinstance(model, str):
                     raise BadRequest("'model' must be a string")
+                if not hasattr(srv.session, "reload"):
+                    raise NotSupported(
+                        "hot-reload needs a live checkpoint session "
+                        "(--model); restart with a new --aot artifact "
+                        "instead")
                 try:
                     epoch = srv.session.reload(model)
                 except (ValueError, FileNotFoundError) as e:
@@ -644,6 +677,11 @@ class _Handler(BaseHTTPRequestHandler):
                 if style is not None and style not in ("greedy", "sample"):
                     raise BadRequest(
                         "'style' must be 'greedy' or 'sample'")
+                if not hasattr(srv.session, "stream"):
+                    raise NotSupported(
+                        "streaming needs a live checkpoint session "
+                        "(--model); the AOT artifact exports only the "
+                        "batch beam program")
                 req = parse_request(body)
                 self._stream_events(req, style)
             elif self.path == "/v1/rank":
@@ -686,6 +724,9 @@ class _Handler(BaseHTTPRequestHandler):
             srv.count_rejected()
             self._send(503, {"error": str(e)},
                        extra_headers={"Retry-After": "1"})
+        except NotSupported as e:
+            srv.count(error=True)
+            self._send(501, {"error": str(e)})
         except BadRequest as e:
             srv.count(error=True)
             self._send(400, {"error": str(e)})
@@ -719,8 +760,16 @@ def main(argv=None) -> int:
 
     parser = argparse.ArgumentParser(
         description="Serve a trained MTN checkpoint over HTTP")
-    parser.add_argument("--model", required=True,
+    parser.add_argument("--model",
                         help="checkpoint prefix (e.g. exps/x/mtn_best)")
+    parser.add_argument("--aot",
+                        help="serve an exported AOT artifact directory "
+                             "(python -m mtn_tpu.utils.aot export) "
+                             "instead of a checkpoint: hermetic load "
+                             "(no Orbax/flax/re-trace); decode shapes "
+                             "and beam settings are frozen in the "
+                             "artifact, and rank/stream/reload answer "
+                             "501")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", default=8080, type=int)
     parser.add_argument("--beam", default=5, type=int)
@@ -771,19 +820,37 @@ def main(argv=None) -> int:
     setup_logging(args.verbose)
 
     import logging
-    decode_cfg = DecodeConfig(
-        maxlen=args.maxlen, beam=args.beam, penalty=args.penalty,
-        nbest=args.nbest, min_len=args.min_len,
-        decode_style=args.decode_style, temperature=args.temperature,
-        top_k=args.top_k, top_p=args.top_p, sample_seed=args.sample_seed,
-        turn_batch=args.turn_batch)
-    mesh, _ = make_mesh_from_args(args, batch_size=args.turn_batch)
-    overrides = {"fused_decode_qkv": True} if args.fused_decode_qkv else None
-    session = ServingSession.from_checkpoint(
-        args.model, decode_cfg, mesh=mesh, model_overrides=overrides,
-        feature_transfer=args.feature_transfer)
+    if bool(args.model) == bool(args.aot):
+        parser.error("exactly one of --model / --aot is required")
+    if args.aot:
+        # the artifact freezes shapes + decode config at export time;
+        # the decode/mesh/transfer knobs only apply to live sessions
+        if args.watch_seconds:
+            parser.error("--watch-seconds needs --model (an AOT "
+                         "artifact is immutable; redeploy to update)")
+        if args.decode_style != "beam_search":
+            parser.error("--aot serves the exported beam program; "
+                         "--decode-style does not apply")
+        from mtn_tpu.utils.aot import AotSession
+        session = AotSession(args.aot)
+        logging.info("loaded AOT artifact %s (exported from %s, epoch "
+                     "%s, batch %d)", args.aot, session.model_arg,
+                     session.epoch, session.decode_cfg.turn_batch)
+    else:
+        decode_cfg = DecodeConfig(
+            maxlen=args.maxlen, beam=args.beam, penalty=args.penalty,
+            nbest=args.nbest, min_len=args.min_len,
+            decode_style=args.decode_style, temperature=args.temperature,
+            top_k=args.top_k, top_p=args.top_p,
+            sample_seed=args.sample_seed, turn_batch=args.turn_batch)
+        mesh, _ = make_mesh_from_args(args, batch_size=args.turn_batch)
+        overrides = ({"fused_decode_qkv": True}
+                     if args.fused_decode_qkv else None)
+        session = ServingSession.from_checkpoint(
+            args.model, decode_cfg, mesh=mesh, model_overrides=overrides,
+            feature_transfer=args.feature_transfer)
     if args.warmup:
-        sec = session.warmup(stream=True)
+        sec = session.warmup(stream=hasattr(session, "stream"))
         logging.info("warmup: decode programs compiled in %.1fs", sec)
     srv = MTNServer((args.host, args.port), session,
                     max_in_flight=args.max_in_flight,
@@ -795,8 +862,9 @@ def main(argv=None) -> int:
         logging.info("watching %s every %.1fs for new checkpoints",
                      args.model, args.watch_seconds)
     logging.info("serving %s on http://%s:%d (style=%s, turn_batch=%d)",
-                 args.model, *srv.server_address, args.decode_style,
-                 args.turn_batch)
+                 args.model or args.aot, *srv.server_address,
+                 session.decode_cfg.decode_style,
+                 session.decode_cfg.turn_batch)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

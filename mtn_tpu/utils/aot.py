@@ -161,14 +161,24 @@ class AotSession:
     """Serve an exported decode artifact.
 
     Mirrors ``ServingSession.respond/respond_batch`` (same Request
-    objects, same history/caption encoding law via ``encode_requests``)
-    but runs the deserialized program: no checkpoint restore, no flax
-    module, no Python re-trace. Oversized batches are chunked to the
-    exported row count; sequences longer than the exported lengths
-    raise (tokens) or are frame-truncated (features — the same cap law
-    as bucketed serving)."""
+    objects, same ``DecodeResult`` n-best rows, same history/caption
+    encoding law via ``encode_requests``) but runs the deserialized
+    program: no checkpoint restore, no flax module, no Python re-trace.
+    Oversized batches are chunked to the exported row count; sequences
+    longer than the exported lengths raise (tokens) or are
+    frame-truncated (features — the same cap law as bucketed serving).
+    Drop-in for the HTTP front-end's lock-serialized path
+    (``python -m mtn_tpu.serve_http --aot <dir>``); the live-only
+    surfaces (rank/stream/hot-reload) intentionally do not exist here —
+    serve_http answers 501 for them."""
+
+    #: serving front-ends (serve_http) key off this to route the
+    #: live-only surfaces (rank/stream/reload) to 501 Not Implemented
+    is_aot = True
 
     def __init__(self, art_dir: str):
+        import dataclasses
+
         import jax
 
         with open(os.path.join(art_dir, _META)) as f:
@@ -181,6 +191,13 @@ class AotSession:
         from mtn_tpu.data.vocab import vocab_list
         self.model_cfg = config_from_dict("model", conf["model"])
         self.data_cfg = config_from_dict("data", conf["data"])
+        # the decode config frozen into the exported program; turn_batch
+        # reflects the artifact's row count (the serving launch size)
+        self.decode_cfg = dataclasses.replace(
+            config_from_dict("decode", self.meta["decode"]),
+            turn_batch=int(self.meta["batch"]))
+        self.model_arg = self.meta.get("model_arg")
+        self.epoch = self.meta.get("epoch")
         self.vlist = vocab_list(self.vocab)
         with open(os.path.join(art_dir, _BLOB), "rb") as f:
             self._exp = jax.export.deserialize(f.read())
@@ -204,12 +221,12 @@ class AotSession:
         out[:, :min(t, T)] = arr[:, :T]
         return out, np.minimum(ln, T).astype(np.int32)
 
-    def respond_batch(self, requests) -> List[List[Tuple[str, float]]]:
+    def respond_batch(self, requests) -> List["DecodeResult"]:
         from mtn_tpu.decode.beam import completions_to_results, detokenize
-        from mtn_tpu.serve import encode_requests
+        from mtn_tpu.serve import DecodeResult, encode_requests
 
         rows = int(self.meta["batch"])
-        out: List[List[Tuple[str, float]]] = []
+        out: List[DecodeResult] = []
         for at in range(0, len(requests), rows):
             chunk = list(requests[at:at + rows])
             hb = encode_requests(chunk, self.model_cfg, self.data_cfg,
@@ -227,8 +244,9 @@ class AotSession:
             results = completions_to_results(
                 np.asarray(comp_scores), np.asarray(comp_buf),
                 np.asarray(comp_len), hb.valid)
-            out.extend([(a, float(sc)) for a, sc in
-                        r.texts(self.vlist, self._eos)] for r in results)
+            out.extend(DecodeResult(
+                [(a, float(sc)) for a, sc in
+                 r.texts(self.vlist, self._eos)]) for r in results)
         return out
 
     def respond(self, question: str, history=(), caption: str = "",
@@ -236,7 +254,21 @@ class AotSession:
         from mtn_tpu.serve import Request
         req = Request(question=question, history=list(history),
                       caption=caption, features=features or {})
-        return self.respond_batch([req])[0][0][0]
+        return self.respond_batch([req])[0][0]
+
+    def warmup(self, stream: bool = False) -> float:
+        """Deserialize-compile-and-run the exported program on one blank
+        request; returns elapsed seconds. Mirrors
+        ``ServingSession.warmup`` so ``--warmup`` works in AOT serving
+        (``stream`` is accepted-inert — the artifact carries only the
+        beam program)."""
+        import time
+
+        from mtn_tpu.serve import Request
+
+        t0 = time.monotonic()
+        self.respond_batch([Request(question="hello ?")])
+        return time.monotonic() - t0
 
 
 # ---------------------------------------------------------------------------
@@ -306,7 +338,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         session = AotSession(args.artifact)
         req = Request(question=args.question, caption=args.caption,
                       features=feats)
-        for text, score in session.respond_batch([req])[0]:
+        for text, score in session.respond_batch([req])[0].nbest:
             print(json.dumps({"answer": text, "score": score}))
         return 0
     return 2

@@ -56,7 +56,7 @@ def test_artifact_matches_live_session(artifact):
     art, meta, live, feats = artifact
     session = AotSession(art)
     reqs = _requests(feats)
-    aot_out = session.respond_batch(reqs)
+    aot_out = [r.nbest for r in session.respond_batch(reqs)]
 
     # drive the live decoder at the artifact's frozen shapes
     hb = encode_requests(reqs, live.model_cfg, live.data_cfg, live.vocab,
@@ -77,7 +77,7 @@ def test_artifact_matches_live_session(artifact):
     ref_out = [[(a, float(s)) for a, s in r.texts(live.vlist)] for r in ref]
     assert aot_out == ref_out
     # and deterministic across calls
-    assert session.respond_batch(reqs) == aot_out
+    assert [r.nbest for r in session.respond_batch(reqs)] == aot_out
 
 
 def test_artifact_is_hermetic_and_chunks(artifact):
@@ -96,7 +96,7 @@ def test_artifact_is_hermetic_and_chunks(artifact):
     assert len(out) == 6
     # identical questions across chunk boundaries decode identically
     dup = session.respond_batch([reqs[0], reqs[5], reqs[0]])
-    assert dup[0] == dup[2]
+    assert dup[0].nbest == dup[2].nbest
     # oversize query is a clear error, not silent truncation
     with pytest.raises(ValueError, match="exceeds the exported"):
         session.respond_batch(
@@ -115,3 +115,69 @@ def test_aot_cli(artifact, capsys):
     lines = [json.loads(ln) for ln in
              capsys.readouterr().out.strip().splitlines()]
     assert lines and all("answer" in ln and "score" in ln for ln in lines)
+
+
+def test_http_serving_from_artifact(artifact):
+    """``serve_http --aot``: the HTTP surface runs hermetically off the
+    exported artifact — /v1/respond(+_batch) match the direct
+    AotSession, /stats reports the artifact identity — and the
+    live-only routes (rank/stream/reload) answer 501 Not Implemented
+    with a pointer at --model, never a 500."""
+    import urllib.request
+    from urllib.error import HTTPError
+
+    from mtn_tpu.serve_http import start_server
+    from mtn_tpu.utils.aot import AotSession
+
+    art, meta, live, feats = artifact
+    session = AotSession(art)
+    reqs = _requests(feats)
+    direct = session.respond_batch(reqs)
+    srv = start_server(session, port=0)
+    try:
+        base = "http://%s:%d" % srv.server_address
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST")
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return r.status, json.loads(r.read())
+
+        body = {"question": reqs[0].question, "caption": reqs[0].caption,
+                "features": {k: v.tolist() for k, v in feats.items()},
+                "nbest": 2}
+        code, out = post("/v1/respond", body)
+        assert code == 200
+        assert (out["answer"], out["score"]) == tuple(direct[0])
+        assert [(d["answer"], d["score"]) for d in out["nbest"]] \
+            == direct[0].nbest[:2]
+
+        code, out = post("/v1/respond_batch", {"requests": [
+            {"question": r.question, "caption": r.caption,
+             "history": [list(t) for t in r.history]} for r in reqs[1:]]})
+        assert code == 200
+        hermetic = session.respond_batch(reqs[1:])
+        assert [(d["answer"], d["score"]) for d in out["results"]] \
+            == [tuple(r) for r in hermetic]
+
+        with urllib.request.urlopen(base + "/stats", timeout=60) as r:
+            stats = json.loads(r.read())
+        assert stats["aot"] is True
+        assert stats["decode_style"] == "beam_search"
+        assert stats["turn_batch"] == meta["batch"]
+        assert stats["epoch"] == meta["epoch"]
+        assert stats["model"] and "/" not in stats["model"]
+
+        for path, payload in [
+                ("/v1/rank", dict(body, candidates=["a cat", "a dog"])),
+                ("/v1/stream", {"question": "hi ?"}),
+                ("/admin/reload", {})]:
+            with pytest.raises(HTTPError) as ei:
+                post(path, payload)
+            assert ei.value.code == 501
+            msg = json.loads(ei.value.read())["error"]
+            assert "--model" in msg or "live" in msg
+    finally:
+        srv.close()
