@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "(output-identical to the full maxlen run; "
                              "measured 1.32x decode on a trained model — "
                              "0 runs the fixed-maxlen scan)")
+    parser.add_argument("--weights-quant", default="", type=str,
+                        choices=["", "int8"],
+                        help="'int8': decode with weight-only-quantized "
+                             "kernels (per-channel scales, dequant fused "
+                             "into the matmul reads — "
+                             "mtn_tpu/utils/quantize.py); default full "
+                             "precision")
     parser.add_argument("--multihost", default="", type=str,
                         help="join a multi-host run: 'auto' (TPU pod) or "
                              "'host:port,nprocs,procid' — turn batches "
@@ -300,6 +307,13 @@ def main(argv=None):
         # params were restored onto one device; lay them out over the mesh
         # (replicated under pure dp, tp-sharded when --mesh-model > 1)
         params = shardings.shard_state(params)
+    if args.weights_quant:
+        if mesh is not None and any(n > 1 for n in mesh.shape.values()):
+            raise SystemExit("--weights_quant is single-device serving "
+                             "(quantization happens host-side)")
+        from mtn_tpu.utils.quantize import quantize_params
+        logging.info("quantizing decode weights: %s", args.weights_quant)
+        params = quantize_params(params)
     logging.info("--------------------generate--------------------")
     t0 = time.time()
     result, wall, n = generate_responses(

@@ -44,6 +44,7 @@ from mtn_tpu.config import DecodeConfig, ModelConfig
 from mtn_tpu.data.vocab import SPECIALS
 from mtn_tpu.models.mtn import MTN, DecodeState
 from mtn_tpu.train.batch import DeviceBatch, batch_masks
+from mtn_tpu.utils.quantize import model_variables
 
 NEG_INF = -1.0e30
 
@@ -116,13 +117,16 @@ class BeamDecoder:
 
     # ------------------------------------------------------------------
     def _decode_state(self, params, batch: DeviceBatch) -> DecodeState:
+        # `params` throughout the decoder is either a plain param tree
+        # or a quantize.QuantizedParams bundle (opt-in int8 weights) —
+        # model_variables() builds the right apply collections for both
         masks, _ = batch_masks(batch, self.pad)
         return self.model.apply(
-            {"params": params}, batch.query, batch.his, batch.cap,
+            model_variables(params), batch.query, batch.his, batch.cap,
             batch.fts, masks, method=MTN.init_decode_state)
 
     def _step(self, params, state, tokens, pos, self_kv):
-        return self.model.apply({"params": params}, state, tokens, pos,
+        return self.model.apply(model_variables(params), state, tokens, pos,
                                 self_kv, method=MTN.decode_step)
 
     # ------------------------------------------------------------------

@@ -100,9 +100,11 @@ class MultiHeadAttention(nn.Module):
 
     def setup(self):
         assert self.d_model % self.n_heads == 0
-        dense = lambda name: nn.Dense(
-            self.d_model, dtype=self.dtype, param_dtype=self.param_dtype,
-            kernel_init=nn.initializers.xavier_uniform(), name=name)
+        # ParamLinear ≡ nn.Dense numerically (same ops, init and param
+        # paths) but carries the int8 weight read path (see ParamLinear)
+        dense = lambda name: ParamLinear(
+            self.d_model, self.d_model, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
         self.w_q, self.w_k, self.w_v = dense("w_q"), dense("w_k"), dense("w_v")
         self.w_o = dense("w_o")
 
@@ -131,12 +133,17 @@ class MultiHeadAttention(nn.Module):
         ((B,H,L,Dk), (B,H,L,Dk), (B,H,L,Dk)).
         """
         dt = self.dtype
-        ps = [self.w_q.variables["params"], self.w_k.variables["params"],
-              self.w_v.variables["params"]]
-        kernel = jnp.concatenate([p["kernel"] for p in ps],
+        mods = (self.w_q, self.w_k, self.w_v)
+        kernel = jnp.concatenate([m.kernel for m in mods],
                                  axis=1).astype(dt)
-        bias = jnp.concatenate([p["bias"] for p in ps]).astype(dt)
-        qkv = jnp.dot(x.astype(dt), kernel) + bias
+        bias = jnp.concatenate([m.bias for m in mods]).astype(dt)
+        qkv = jnp.dot(x.astype(dt), kernel)
+        scales = [m.scale() for m in mods]
+        if scales[0] is not None:
+            # int8 kernels: per-column scales concatenate like the
+            # kernels do, and (x@q)·scale ≡ x@(q·scale) per column
+            qkv = qkv * jnp.concatenate(scales).astype(dt)
+        qkv = qkv + bias
         q, k, v = jnp.split(qkv, 3, axis=-1)
         return self._split(q), self._split(k), self._split(v)
 
@@ -173,7 +180,17 @@ class MultiHeadAttention(nn.Module):
 
 class ParamLinear(nn.Module):
     """Dense with directly accessible kernel/bias (same param paths as
-    nn.Dense) so fused Pallas ops can consume the raw weights."""
+    nn.Dense) so fused Pallas ops can consume the raw weights.
+
+    Also the model's weight-only int8 read path
+    (mtn_tpu/utils/quantize.py): when the stored kernel is int8, its
+    per-output-channel scale is read from the ``qscales`` variable
+    collection and the dequantization is folded around the matmul as
+    ``(x @ q) * scale + b`` — HBM reads stay int8, the convert happens
+    on-chip. Full-precision apply (training, parity suite) is
+    untouched: without a ``qscales`` collection the kernel is float and
+    the original path runs.
+    """
 
     d_in: int
     features: int
@@ -187,7 +204,22 @@ class ParamLinear(nn.Module):
         self.bias = self.param("bias", nn.initializers.zeros,
                                (self.features,), self.param_dtype)
 
+    def scale(self) -> Optional[jnp.ndarray]:
+        """Per-output-channel dequant scale for an int8 kernel (None
+        when running full precision)."""
+        if jnp.dtype(self.kernel.dtype) != jnp.int8:
+            return None
+        if not self.has_variable("qscales", "kernel_scale"):
+            raise ValueError(
+                "int8 kernel but no 'qscales' collection was passed to "
+                "apply — build variables with quantize.model_variables()")
+        return self.get_variable("qscales", "kernel_scale")
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.scale()
+        if scale is not None:
+            y = jnp.dot(x.astype(self.dtype), self.kernel.astype(self.dtype))
+            return y * scale.astype(self.dtype) + self.bias.astype(self.dtype)
         return jnp.dot(x.astype(self.dtype),
                        self.kernel.astype(self.dtype)) \
             + self.bias.astype(self.dtype)
@@ -216,7 +248,8 @@ class FeedForward(nn.Module):
 
     def __call__(self, x: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        if self.use_pallas and (deterministic or self.dropout == 0.0):
+        if self.use_pallas and (deterministic or self.dropout == 0.0) \
+                and jnp.dtype(self.w_1.kernel.dtype) != jnp.int8:
             from mtn_tpu.ops.pallas_ffn import fused_ffn
             dt = self.dtype
             return fused_ffn(x.astype(dt), self.w_1.kernel.astype(dt),
@@ -256,8 +289,6 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        logits = nn.Dense(self.vocab_size, dtype=self.dtype,
-                          param_dtype=self.param_dtype,
-                          kernel_init=nn.initializers.xavier_uniform(),
-                          name="proj")(x)
+        logits = ParamLinear(x.shape[-1], self.vocab_size, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="proj")(x)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -48,8 +48,8 @@ from flax import struct
 
 from mtn_tpu.config import ModelConfig
 from mtn_tpu.models.layers import (FeedForward, Generator, MultiHeadAttention,
-                                   PosEncoding, RefLayerNorm, ScaledEmbed,
-                                   Sublayer)
+                                   ParamLinear, PosEncoding, RefLayerNorm,
+                                   ScaledEmbed, Sublayer)
 
 
 @struct.dataclass
@@ -100,10 +100,8 @@ class VideoEncoder(nn.Module):
     @nn.compact
     def __call__(self, ft: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
-        x = nn.Dense(self.d_model, dtype=self.dtype,
-                     param_dtype=self.param_dtype,
-                     kernel_init=nn.initializers.xavier_uniform(),
-                     name="proj")(ft)
+        x = ParamLinear(ft.shape[-1], self.d_model, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="proj")(ft)
         x = nn.relu(x)
         return PosEncoding(self.d_model, self.dropout, self.max_len,
                            self.dtype, name="pe")(x, deterministic)

@@ -147,8 +147,16 @@ class ServingSession:
 
     def __init__(self, params, model_cfg, data_cfg, vocab: Dict[str, int],
                  decode_cfg: Optional[DecodeConfig] = None, mesh=None,
-                 feature_transfer: str = ""):
-        self.params = params
+                 feature_transfer: str = "", weights_quant: str = ""):
+        # Opt-in weight-only int8 for the served decode programs
+        # (mtn_tpu/utils/quantize.py): kernels stored int8 + per-channel
+        # scales, dequant fused into the matmul reads. "" = full
+        # precision (the parity-proven default).
+        if weights_quant not in ("", "int8"):
+            raise ValueError(f"weights_quant {weights_quant!r} "
+                             "(expected '' or 'int8')")
+        self.weights_quant = weights_quant
+        self.params = self._maybe_quantize(params)
         self.model_cfg = model_cfg
         self.data_cfg = data_cfg
         self.vocab = vocab
@@ -166,16 +174,24 @@ class ServingSession:
         self._sample_calls = 0  # fold per-call so noise isn't reused
         self.epoch = None       # checkpoint epoch currently served
 
+    def _maybe_quantize(self, params):
+        if getattr(self, "weights_quant", ""):
+            from mtn_tpu.utils.quantize import quantize_params
+            return quantize_params(params)
+        return params
+
     @classmethod
     def from_checkpoint(cls, model_arg: str,
                         decode_cfg: Optional[DecodeConfig] = None,
                         mesh=None, model_overrides: Optional[Dict] = None,
-                        feature_transfer: str = "") -> "ServingSession":
+                        feature_transfer: str = "",
+                        weights_quant: str = "") -> "ServingSession":
         """``model_overrides``: ModelConfig fields to set on top of the
         sidecar config — serving-time knobs with no param-tree effect
         (e.g. ``{"fused_decode_qkv": True}``, dtype, the Pallas flags).
         ``feature_transfer``: feature wire format ("", "bfloat16",
-        "int8") — see :class:`ServingSession`."""
+        "int8") — see :class:`ServingSession`. ``weights_quant``:
+        "int8" serves weight-only-quantized decode programs."""
         from mtn_tpu.cli.generate import _split_model_arg
         from mtn_tpu.utils.checkpoint import CheckpointManager
 
@@ -191,7 +207,8 @@ class ServingSession:
         params, used_epoch = _restore_params(ckpt, epoch, model_cfg,
                                              data_cfg, vocab)
         session = cls(params, model_cfg, data_cfg, vocab, decode_cfg,
-                      mesh=mesh, feature_transfer=feature_transfer)
+                      mesh=mesh, feature_transfer=feature_transfer,
+                      weights_quant=weights_quant)
         session.model_arg = model_arg
         session.epoch = used_epoch
         return session
@@ -226,7 +243,7 @@ class ServingSession:
             raise ValueError(
                 f"cannot restore {arg} into the served architecture: "
                 f"{type(e).__name__}: {e}")
-        self.params = new_params  # atomic swap
+        self.params = self._maybe_quantize(new_params)  # atomic swap
         self.model_arg = arg
         self.epoch = used_epoch
         return used_epoch

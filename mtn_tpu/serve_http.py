@@ -261,6 +261,14 @@ class MTNServer(ThreadingHTTPServer):
     ``beam_search`` checkpoints get an :class:`AsyncServer` so requests
     from different connections share compiled beam launches; other
     decode styles get a plain lock around the (thread-unsafe) session.
+
+    ``session`` is duck-typed: any object with ``respond_batch``,
+    ``decode_cfg``, ``epoch`` and (optionally) ``warmup`` serves —
+    concretely :class:`~mtn_tpu.serve.ServingSession` (live checkpoint)
+    or :class:`~mtn_tpu.utils.aot.AotSession` (hermetic artifact,
+    ``is_aot=True``). The optional surface — ``rank`` / ``stream`` /
+    ``reload`` / ``model_arg`` — gates the matching routes: sessions
+    without it answer 501 on those paths.
     """
 
     daemon_threads = True
@@ -268,7 +276,7 @@ class MTNServer(ThreadingHTTPServer):
     # burst of concurrent clients would get connection resets
     request_queue_size = 128
 
-    def __init__(self, addr, session: ServingSession,
+    def __init__(self, addr, session: "ServingSession | AotSession",
                  max_in_flight: int = 2, max_wait_ms: float = 5.0,
                  admin_token: Optional[str] = None, max_queue: int = 0):
         super().__init__(addr, _Handler)
@@ -292,6 +300,7 @@ class MTNServer(ThreadingHTTPServer):
         self.n_errors = 0
         self.n_reloads = 0
         self.n_rejected = 0
+        self.n_unsupported = 0
         self._admitted = 0
         self._count_lock = threading.Lock()
         self.latency = LatencyHistogram()
@@ -367,10 +376,12 @@ class MTNServer(ThreadingHTTPServer):
     def stats(self) -> dict:
         with self._count_lock:
             n, e, rej = self.n_requests, self.n_errors, self.n_rejected
+            unsup = self.n_unsupported
         return {
             "requests": n,
             "errors": e,
             "rejected": rej,
+            "unsupported": unsup,
             "queue_depth": self.queue_depth(),
             "draining": self.draining,
             "launches": (self.async_server.launches
@@ -396,6 +407,7 @@ class MTNServer(ThreadingHTTPServer):
         with self._count_lock:
             n, e, r = self.n_requests, self.n_errors, self.n_reloads
             rejected = self.n_rejected
+            unsupported = self.n_unsupported
         counts, lat_sum, lat_count = self.latency.snapshot()
         lines = [
             "# HELP mtn_requests_total Completed API requests.",
@@ -415,6 +427,10 @@ class MTNServer(ThreadingHTTPServer):
             "(overload or draining).",
             "# TYPE mtn_rejected_total counter",
             f"mtn_rejected_total {rejected}",
+            "# HELP mtn_unsupported_total Probes of routes this session "
+            "type does not serve (501; not errors).",
+            "# TYPE mtn_unsupported_total counter",
+            f"mtn_unsupported_total {unsupported}",
             "# HELP mtn_queue_depth Requests waiting for a decode slot.",
             "# TYPE mtn_queue_depth gauge",
             f"mtn_queue_depth {self.queue_depth()}",
@@ -449,6 +465,13 @@ class MTNServer(ThreadingHTTPServer):
     def count_rejected(self):
         with self._count_lock:
             self.n_rejected += 1
+
+    def count_unsupported(self):
+        # 501s (live-only route probed on an AOT server) are tracked on
+        # their own counter, NOT as errors: a healthy AOT server probed
+        # for /v1/stream must not trip error-rate alerts (ADVICE r3)
+        with self._count_lock:
+            self.n_unsupported += 1
 
     def close(self):
         """Stop accepting connections and drain the batcher."""
@@ -725,7 +748,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(503, {"error": str(e)},
                        extra_headers={"Retry-After": "1"})
         except NotSupported as e:
-            srv.count(error=True)
+            srv.count_unsupported()
             self._send(501, {"error": str(e)})
         except BadRequest as e:
             srv.count(error=True)
@@ -735,13 +758,15 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
 
-def start_server(session: ServingSession, host: str = "127.0.0.1",
+def start_server(session: "ServingSession | AotSession",
+                 host: str = "127.0.0.1",
                  port: int = 0, max_in_flight: int = 2,
                  max_wait_ms: float = 5.0,
                  admin_token: Optional[str] = None,
                  max_queue: int = 0) -> MTNServer:
     """Bind and serve on a daemon thread; returns the (running) server.
-    ``port=0`` binds an ephemeral port (``server.server_address[1]``)."""
+    ``port=0`` binds an ephemeral port (``server.server_address[1]``).
+    ``session`` is duck-typed — see :class:`MTNServer`."""
     srv = MTNServer((host, port), session, max_in_flight=max_in_flight,
                     max_wait_ms=max_wait_ms, admin_token=admin_token,
                     max_queue=max_queue)
@@ -831,6 +856,22 @@ def main(argv=None) -> int:
         if args.decode_style != "beam_search":
             parser.error("--aot serves the exported beam program; "
                          "--decode-style does not apply")
+        # every decode/mesh/transfer knob is frozen in the artifact (or
+        # live-only); silently ignoring a non-default value would hand
+        # the operator the artifact's settings instead (ADVICE r3) —
+        # reject loudly
+        frozen = ["beam", "penalty", "nbest", "maxlen", "min_len",
+                  "temperature", "top_k", "top_p", "sample_seed",
+                  "turn_batch", "mesh_data", "mesh_model",
+                  "fused_decode_qkv", "feature_transfer"]
+        bad = [f for f in frozen
+               if getattr(args, f) != parser.get_default(f)]
+        if bad:
+            flags = ", ".join("--" + f.replace("_", "-") for f in bad)
+            parser.error(
+                f"{flags}: frozen in the AOT artifact at export time "
+                "(or live-session-only) — re-export with "
+                "'python -m mtn_tpu.utils.aot export' to change them")
         from mtn_tpu.utils.aot import AotSession
         session = AotSession(args.aot)
         logging.info("loaded AOT artifact %s (exported from %s, epoch "

@@ -41,6 +41,37 @@ import numpy as np
 import pytest
 
 
+def pytest_sessionfinish(session, exitstatus):
+    """Write machine-checkable suite evidence to SUITE.txt (repo root).
+
+    VERDICT r3 weak #5: the axon re-exec can swallow pytest's final
+    "N passed" summary line when piped, silently degrading the
+    CLAUDE.md "record the pass line" protocol. This hook records the
+    exit status and per-outcome counts from inside the (re-exec'd)
+    pytest process itself, so the evidence survives any terminal-layer
+    loss. The file is overwritten by every pytest run — the snapshot
+    protocol is: run the FULL suite last, then commit SUITE.txt.
+    """
+    import datetime
+    import json
+    try:
+        tr = session.config.pluginmanager.get_plugin("terminalreporter")
+        stats = {k: len(v) for k, v in tr.stats.items() if k} if tr else {}
+        payload = {
+            "when": datetime.datetime.now().isoformat(timespec="seconds"),
+            "argv": sys.argv[1:],
+            "exitstatus": int(exitstatus),
+            "collected": int(getattr(session, "testscollected", -1)),
+            "failed": int(getattr(session, "testsfailed", -1)),
+            "outcomes": stats,
+        }
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "SUITE.txt"), "w") as f:
+            f.write(json.dumps(payload, sort_keys=True) + "\n")
+    except Exception:
+        pass  # evidence is best-effort; never fail the suite over it
+
+
 @pytest.fixture(scope="session")
 def tiny_corpus(tmp_path_factory):
     """Synthetic DSTC7-format dataset + .npy features on disk."""

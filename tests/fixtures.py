@@ -14,23 +14,25 @@ WORDS = ("a man sits on couch reading book he closes the it and puts "
          "yes no maybe dog cat walks room door opens").split()
 
 
-def _sentence(rng, lo=3, hi=9):
+def _sentence(rng, lo=3, hi=9, words=WORDS):
     n = int(rng.integers(lo, hi))
-    return " ".join(rng.choice(WORDS, size=n))
+    return " ".join(rng.choice(words, size=n))
 
 
-def make_dialog_json(rng, n_dialogs=6, n_turns=3, undisclosed=False):
+def make_dialog_json(rng, n_dialogs=6, n_turns=3, undisclosed=False,
+                     words=WORDS, id_prefix="VID"):
     dialogs = []
     for d in range(n_dialogs):
         turns = []
         for t in range(n_turns):
             answer = "__UNDISCLOSED__" if (undisclosed and t == n_turns - 1) \
-                else _sentence(rng)
-            turns.append({"question": _sentence(rng), "answer": answer})
+                else _sentence(rng, words=words)
+            turns.append({"question": _sentence(rng, words=words),
+                          "answer": answer})
         dialogs.append({
-            "image_id": f"VID{d:03d}",
-            "caption": _sentence(rng, 5, 12),
-            "summary": _sentence(rng, 5, 12),
+            "image_id": f"{id_prefix}{d:03d}",
+            "caption": _sentence(rng, 5, 12, words),
+            "summary": _sentence(rng, 5, 12, words),
             "dialog": turns,
         })
     return {"type": "test", "version": "0.1", "dialogs": dialogs}

@@ -117,6 +117,21 @@ def test_aot_cli(artifact, capsys):
     assert lines and all("answer" in ln and "score" in ln for ln in lines)
 
 
+def test_aot_frozen_flags_rejected(capsys):
+    """--aot + any decode/mesh/transfer flag that differs from its
+    default is an argparse error (the artifact froze those at export;
+    silently serving the frozen values would mislead the operator —
+    ADVICE r3)."""
+    from mtn_tpu.serve_http import main
+    for flags in (["--beam", "10"], ["--turn-batch", "4"],
+                  ["--feature-transfer", "int8"], ["--mesh-model", "2"],
+                  ["--maxlen", "10"]):
+        with pytest.raises(SystemExit) as ei:
+            main(["--aot", "some/dir"] + flags)
+        assert ei.value.code == 2
+        assert "frozen in the AOT artifact" in capsys.readouterr().err
+
+
 def test_http_serving_from_artifact(artifact):
     """``serve_http --aot``: the HTTP surface runs hermetically off the
     exported artifact — /v1/respond(+_batch) match the direct
@@ -179,5 +194,16 @@ def test_http_serving_from_artifact(artifact):
             assert ei.value.code == 501
             msg = json.loads(ei.value.read())["error"]
             assert "--model" in msg or "live" in msg
+
+        # 501 probes count on their own counter, NOT as errors — a
+        # healthy AOT server must not trip error-rate alerts (ADVICE r3)
+        with urllib.request.urlopen(base + "/stats", timeout=60) as r:
+            stats2 = json.loads(r.read())
+        assert stats2["unsupported"] == 3
+        assert stats2["errors"] == 0
+        with urllib.request.urlopen(base + "/metrics", timeout=60) as r:
+            metrics_txt = r.read().decode()
+        assert "mtn_unsupported_total 3" in metrics_txt
+        assert "mtn_errors_total 0" in metrics_txt
     finally:
         srv.close()

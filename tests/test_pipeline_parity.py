@@ -37,135 +37,44 @@ Note the reference's generate.py:56 does NOT forward --beam/--penalty/
 --nbest into beam_search_decode — it always decodes with the defaults
 (beam=5, penalty=1.0, nbest=5, data_utils.py:188); we therefore pass
 exactly those to our CLI.
+
+The execution/migration/comparison machinery lives in tests/refpipe.py,
+shared with the scaled + config-matrix suite
+(tests/test_pipeline_parity_scaled.py).
 """
 
 from __future__ import annotations
 
-import copy
-import json
-import os
-import pickle
-import runpy
-import sys
-import types
-from pathlib import Path
-
 import pytest
+
+from tests import refpipe
 
 # end-to-end tier: deselect with -m 'not slow' (pyproject markers)
 pytestmark = pytest.mark.slow
 
-REF = "/root/reference"
-
 DIMS = ["--nb-blocks", "2", "--d-model", "16", "--d-ff", "32",
         "--att-h", "2"]
-
-# Cross-framework beam-score noise bound. Per-step logit agreement is
-# proven to ~2e-4 (test_reference_parity); beam scores sum ~12 steps of
-# logprobs over 5 hypotheses, so accumulated drift is bounded well under
-# this. A reference margin above EPS cannot be flipped by transplant
-# numerics; a margin below it is a genuine near-tie.
-EPS = 0.05
+EPS = refpipe.EPS
 
 
 @pytest.fixture(scope="module")
 def ref_run(tmp_path_factory):
-    """Train + beam-decode with the actual reference pipeline (CPU).
-
-    Returns (corpus, model_prefix, ref_out, nbest_records) where
-    nbest_records[turn] = [(hyp_text, completion_score), ...] recorded
-    from the reference's own beam_search_decode return value
-    (data_utils.py:239-240: nbest comp-hypotheses sorted by score).
-    """
-    if not os.path.isdir(REF):
-        pytest.skip("reference tree not available")
-    torch = pytest.importorskip("torch")
-    pytest.importorskip("tqdm")
-    if "torchtext" not in sys.modules:  # vestigial import (data_utils.py:8)
-        tt = types.ModuleType("torchtext")
-        tt.data = types.SimpleNamespace(Iterator=object, batch=None)
-        tt.datasets = types.SimpleNamespace()
-        sys.modules["torchtext"] = tt
-
+    refpipe.require_reference_env()
     root = tmp_path_factory.mktemp("refpipe")
     from tests.fixtures import write_tiny_corpus
     corpus = write_tiny_corpus(root / "corpus", n_dialogs=8, n_turns=3)
     model_prefix = str(root / "mtn")
     ref_out = str(root / "ref_result.json")
-
-    # The reference hard-codes .cuda() (train.py:160-162,
-    # data_handler.py:217, data_utils.py:28); torch>=2.6 also defaults
-    # torch.load(weights_only=True) which cannot load the reference's
-    # whole-module pickle (train.py:217). Patch both for the run.
-    saved = (torch.Tensor.cuda, torch.nn.Module.cuda, torch.load)
-    old_argv, old_path = sys.argv, list(sys.path)
-    torch.Tensor.cuda = lambda self, *a, **k: self
-    torch.nn.Module.cuda = lambda self, *a, **k: self
-    _load = torch.load
-    torch.load = lambda *a, **k: _load(
-        *a, **{**k, "weights_only": False, "map_location": "cpu"})
-    sys.path.insert(0, REF)
-    nbest_records = []
-    try:
-        sys.argv = [
-            "train.py", "--gpu", "-1",
-            "--fea-type", *corpus.fea_types,
-            "--train-path", corpus.fea_path, "--train-set", corpus.train_set,
-            "--valid-path", corpus.fea_path, "--valid-set", corpus.valid_set,
+    nbest_records = refpipe.run_reference_pipeline(
+        corpus, model_prefix, ref_out,
+        train_args=[
             "--include-caption", "caption", "--separate-caption", "1",
-            "--cut-a", "1", "--merge-source", "0", "--model", model_prefix,
+            "--cut-a", "1", "--merge-source", "0",
             *DIMS, "--dropout", "0.1", "--diff-encoder", "1",
             "--auto-encoder-ft", "query", "--num-epochs", "4",
             "--rand-seed", "1", "--batch-size", "4", "--max-length", "64",
             "--report-interval", "4", "--warmup-steps", "20",
-        ]
-        # the reference does NOT seed torch (train.py:108-109 covers only
-        # random/numpy) — pin the xavier init draw here so the trained
-        # model is independent of import context
-        torch.manual_seed(1)
-        runpy.run_path(os.path.join(REF, "train.py"), run_name="__main__")
-
-        # wrap the reference's beam to record each turn's nbest
-        # completion list (token ids + scores) for margin analysis
-        import data_utils as ref_data_utils  # cached from the train run
-        with open(model_prefix + ".conf", "rb") as f:
-            vocab, _ = pickle.load(f)
-        vocablist = sorted(vocab.keys(), key=lambda s: vocab[s])
-        eos = vocab["<eos>"]
-        orig_beam = ref_data_utils.beam_search_decode
-
-        def recording_beam(*a, **k):
-            maxhyps, best_state = orig_beam(*a, **k)
-            turn = []
-            for toks, score in maxhyps:
-                words = []
-                for w in toks:  # generate.py:59-64 hypstr law
-                    if w == eos:
-                        break
-                    words.append(vocablist[w])
-                turn.append((" ".join(words), float(score)))
-            nbest_records.append(turn)
-            return maxhyps, best_state
-
-        ref_data_utils.beam_search_decode = recording_beam
-        sys.argv = [
-            "generate.py", "--test-path", corpus.fea_path,
-            "--test-set", corpus.lbl_test_set,
-            "--model-conf", model_prefix + ".conf",
-            "--model", model_prefix + "_best",
-            "--maxlen", "12", "--beam", "5", "--penalty", "1.0",
-            "--nbest", "5", "--output", ref_out,
-            "--decode-style", "beam_search", "--undisclosed-only", "0",
-        ]
-        try:
-            runpy.run_path(os.path.join(REF, "generate.py"),
-                           run_name="__main__")
-        finally:
-            ref_data_utils.beam_search_decode = orig_beam
-    finally:
-        sys.argv = old_argv
-        sys.path[:] = old_path
-        torch.Tensor.cuda, torch.nn.Module.cuda, torch.load = saved
+        ], maxlen=12, torch_seed=1)
     return corpus, model_prefix, ref_out, nbest_records
 
 
@@ -174,114 +83,23 @@ def our_run(ref_run, tmp_path_factory):
     """Migrate the reference checkpoint, decode the same set with ours."""
     corpus, model_prefix, _, _ = ref_run
     root = tmp_path_factory.mktemp("ourpipe")
-    out_prefix = str(root / "mtn")
     our_out = str(root / "our_result.json")
-    from mtn_tpu.cli.generate import main as generate_main
-    from mtn_tpu.utils.migrate import migrate_checkpoint
-
-    best = os.path.realpath(model_prefix + "_best.pth.tar")
-    migrate_checkpoint(best, model_prefix + ".conf", out_prefix, epoch=1)
-    rc = generate_main([
-        "--test-path", corpus.fea_path, "--test-set", corpus.lbl_test_set,
-        "--model", out_prefix + "_1", "--maxlen", "12",
-        "--beam", "5", "--penalty", "1.0", "--nbest", "5",
-        "--output", our_out, "--decode-style", "beam_search",
-        "--undisclosed-only", "0", "--turn-batch", "4",
-        "--dtype", "float32",
-    ])
-    assert rc == 0
+    refpipe.migrate_and_decode_ours(corpus, model_prefix,
+                                    str(root / "mtn"), our_out,
+                                    maxlen=12, turn_batch=4)
     return our_out
 
 
-def _answers(result_path: str):
-    with open(result_path) as f:
-        result = json.load(f)
-    return [(d["image_id"], t, qa["answer"])
-            for d in result["dialogs"]
-            for t, qa in enumerate(d["dialog"])]
-
-
-def _classify_turns(ref_run, our_run):
-    """Pair up turns and classify each as robust-match / tied-match /
-    mismatch using the reference's own nbest margins."""
+def _rows(ref_run, our_run):
     corpus, _, ref_out, nbest_records = ref_run
-    with open(corpus.lbl_test_set) as f:
-        n_turns = sum(len(d["dialog"]) for d in json.load(f)["dialogs"])
-    ref_answers = _answers(ref_out)
-    our_answers = _answers(our_run)
-    assert len(ref_answers) == len(our_answers) == n_turns >= 9
-    assert len(nbest_records) == n_turns
-
-    rows = []
-    for (rvid, rt, rans), (ovid, ot, oans), nbest in zip(
-            ref_answers, our_answers, nbest_records):
-        assert (ovid, ot) == (rvid, rt)
-        assert nbest and nbest[0][0] == rans, (
-            "recorded nbest disagrees with the written result file")
-        top = nbest[0][1]
-        margin = top - nbest[1][1] if len(nbest) > 1 else float("inf")
-        tied = {text for text, sc in nbest if top - sc <= EPS}
-        rows.append(dict(vid=rvid, turn=rt, ref=rans, ours=oans,
-                         margin=margin, tied=tied))
-    return rows
+    return refpipe.classify_turns(corpus, ref_out, our_run, nbest_records)
 
 
 def test_beam_outputs_match_reference_margin_aware(ref_run, our_run):
-    rows = _classify_turns(ref_run, our_run)
-    robust = [r for r in rows if r["margin"] > EPS]
-    for r in robust:
-        assert r["ours"] == r["ref"], (
-            f"ROBUST-margin mismatch at {r['vid']} turn {r['turn']} "
-            f"(ref margin {r['margin']:.4f} > EPS={EPS}): "
-            f"ref={r['ref']!r} ours={r['ours']!r}")
-    for r in rows:
-        if r["margin"] <= EPS:
-            assert r["ours"] in r["tied"], (
-                f"near-tied turn {r['vid']}/{r['turn']} decoded a "
-                f"hypothesis the reference did not score within EPS of "
-                f"its 1-best: ref={r['ref']!r} ours={r['ours']!r} "
-                f"tied={sorted(r['tied'])!r}")
-    # the claim must keep teeth: a majority of turns must be robust and
-    # therefore compared token-for-token
-    assert len(robust) * 2 >= len(rows), (
-        f"only {len(robust)}/{len(rows)} turns have robust margins — "
-        f"the fixture model is too flat for the test to prove anything")
+    refpipe.assert_margin_aware(_rows(ref_run, our_run))
 
 
 def test_stage4_scores_match_reference(ref_run, our_run):
-    """Exact stage-4 score parity after normalizing near-tied turns.
-
-    Near-tied turns (reference margin <= EPS) may legitimately decode a
-    different-but-equal-scored hypothesis; both result files get the
-    reference answer substituted for those (counted, bounded below) so
-    the score comparison is over genuinely-invariant content — and then
-    the full convert+score machinery must agree to 1e-12.
-    """
     corpus, _, ref_out, _ = ref_run
-    from mtn_tpu.evalmetrics.convert import (build_annotation,
-                                             build_hypotheses,
-                                             coco_to_corpora)
-    from mtn_tpu.evalmetrics.scorer import score_pairs
-
-    rows = _classify_turns(ref_run, our_run)
-    normalized = {(r["vid"], r["turn"]): r["ref"]
-                  for r in rows if r["margin"] <= EPS}
-    # teeth: at least half the turns enter the comparison un-normalized
-    assert len(normalized) * 2 <= len(rows)
-
-    with open(corpus.lbl_test_set) as f:
-        lbl = json.load(f)
-    annotation = build_annotation(lbl)
-    scores = {}
-    for name, path in (("ref", ref_out), ("ours", our_run)):
-        with open(path) as f:
-            result = json.load(f)
-        result = copy.deepcopy(result)
-        for d in result["dialogs"]:
-            for t, qa in enumerate(d["dialog"]):
-                key = (d["image_id"], t)
-                if key in normalized:
-                    qa["answer"] = normalized[key]
-        refs, hyps = coco_to_corpora(annotation, build_hypotheses(result))
-        scores[name] = score_pairs(refs, hyps)
-    assert scores["ours"] == pytest.approx(scores["ref"], abs=1e-12)
+    refpipe.assert_stage4_equal(corpus, ref_out, our_run,
+                                _rows(ref_run, our_run))
