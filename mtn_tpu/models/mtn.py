@@ -466,6 +466,14 @@ class MTN(nn.Module):
     # -- decode-time API ----------------------------------------------------
     def init_decode_state(self, query, his, cap, fts,
                           masks: SourceMasks) -> DecodeState:
+        # decode-time degenerate-source law: a fully-masked source row
+        # (lone-<blank> history/caption) attends position 0 only — the
+        # reference's batchsize-1 decode semantics, padding-invariant
+        # (ops/masks.py::attend_first_if_empty; training keeps raw masks)
+        from mtn_tpu.ops.masks import attend_first_if_empty as _fix
+        masks = SourceMasks(query=_fix(masks.query), his=_fix(masks.his),
+                            cap=_fix(masks.cap),
+                            vid=tuple(_fix(m) for m in masks.vid))
         enc = self.encode(query, his, cap, fts, deterministic=True)
         ae_fts = list(enc.ae) if enc.ae is not None else None
         caches = self.decoder.precompute(enc, masks, ae_fts)

@@ -53,13 +53,15 @@ class TinyCorpus:
 def write_tiny_corpus(root: Path, n_dialogs=6, n_turns=3,
                       fea_types=("i3d_rgb", "vggish"),
                       ft_dims=(32, 16), seed=0,
-                      frames=(4, 12)) -> TinyCorpus:
+                      frames=(4, 12), words=WORDS,
+                      n_test_dialogs=3) -> TinyCorpus:
     rng = np.random.default_rng(seed)
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
-    train = make_dialog_json(rng, n_dialogs, n_turns)
-    valid = make_dialog_json(rng, max(2, n_dialogs // 2), n_turns)
-    lbl_test = make_dialog_json(rng, 3, n_turns)
+    train = make_dialog_json(rng, n_dialogs, n_turns, words=words)
+    valid = make_dialog_json(rng, max(2, n_dialogs // 2), n_turns,
+                             words=words)
+    lbl_test = make_dialog_json(rng, n_test_dialogs, n_turns, words=words)
     # undisclosed variant of the same test dialogs
     test = json.loads(json.dumps(lbl_test))
     for d in test["dialogs"]:

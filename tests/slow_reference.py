@@ -21,8 +21,17 @@ from mtn_tpu.train.batch import DeviceBatch, batch_masks
 
 def full_forward_logp(model: MTN, params, batch: DeviceBatch, pad: int,
                       prefix: np.ndarray) -> np.ndarray:
-    """Last-position log-probs after a full forward over ``prefix`` (B, L)."""
+    """Last-position log-probs after a full forward over ``prefix`` (B, L).
+
+    Applies the decode-time degenerate-source law (fully-masked rows
+    attend key 0 — ops/masks.py::attend_first_if_empty) so the oracle
+    shares MTN.init_decode_state's mask semantics exactly."""
+    from mtn_tpu.models.mtn import SourceMasks
+    from mtn_tpu.ops.masks import attend_first_if_empty as _fix
     masks, _ = batch_masks(batch, pad)
+    masks = SourceMasks(query=_fix(masks.query), his=_fix(masks.his),
+                        cap=_fix(masks.cap),
+                        vid=tuple(_fix(m) for m in masks.vid))
     tgt = jnp.asarray(prefix, jnp.int32)
     tgt_mask = jnp.broadcast_to(causal_mask(tgt.shape[1]),
                                 (tgt.shape[0],) + (tgt.shape[1],) * 2)

@@ -329,3 +329,35 @@ def test_stream_rejects_beam_style(setup):
     dec = BeamDecoder(cfg, DecodeConfig(maxlen=6))
     with pytest.raises(ValueError):
         next(dec.stream_tokens(params, db, style="beam_search"))
+
+
+def test_degenerate_source_decode_padding_invariant():
+    """A row whose history is fully masked (the lone-<blank> turn-0
+    history under separate_caption) must decode identically whatever
+    length the history axis is padded to, and must match the slow
+    oracle — the reference decodes such rows at batch size 1 (h_len=1),
+    which ops/masks.py::attend_first_if_empty reproduces under static
+    padding. (Before that law, the degenerate uniform softmax made the
+    output a function of the padded length.)"""
+    rng = np.random.default_rng(21)
+    cfg = tiny_model_cfg(20, (12, 8), dropout=0.0)
+    model = MTN(cfg)
+    base = _random_batch(rng, B=2, Lh=4, vocab=20)
+    # identical data apart from the (fully masked) history padding length
+    db4 = dataclasses.replace(base, his=jnp.full((2, 4), PAD, jnp.int32))
+    db12 = dataclasses.replace(base, his=jnp.full((2, 12), PAD, jnp.int32))
+    masks, tgt_mask = batch_masks(db4, PAD)
+    params = model.init({"params": jax.random.PRNGKey(9)}, db4.query,
+                        db4.his, db4.cap, db4.fts, masks, db4.answer_in,
+                        tgt_mask, method=MTN.init_all)["params"]
+    dcfg = DecodeConfig(maxlen=6, beam=3, nbest=3, penalty=1.0)
+    out4 = BeamDecoder(cfg, dcfg).beam_batch(params, db4)
+    out12 = BeamDecoder(cfg, dcfg).beam_batch(params, db12)
+    for a, b in zip(out4, out12):
+        assert a.tokens == b.tokens
+        assert a.scores == pytest.approx(b.scores, abs=1e-4)
+    # and the shared-law slow oracle agrees token-for-token
+    for b_i in range(2):
+        want, _ = slow_beam(model, params, _row(db4, b_i), PAD, SOS, EOS,
+                            UNK, maxlen=6, beam=3, penalty=1.0, nbest=3)
+        assert [t for t, _ in want] == out4[b_i].tokens
