@@ -42,9 +42,41 @@ scored once (micro-average).
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List, Tuple
 
 from mtn_tpu.evalmetrics.stem import porter_stem
+
+
+def normalize(text: str, lowercase: bool = True) -> str:
+    """The jar's ``-norm`` input pass, applied before alignment.
+
+    Meteor 1.5's Normalizer implements the NIST mteval-v11b/13a
+    normalization (the jar README: "normalize punctuation and
+    tokenize"): strip SGML artifacts, unescape the four SGML entities,
+    space-tokenize punctuation (keeping decimal points/commas inside
+    numbers together), split a dash after a digit, collapse whitespace,
+    and lowercase. On the DSTC7 pipeline's input this is nearly a no-op
+    (convert.py already PTB-tokenizes and lowercases), but it makes the
+    scorer's contract match the reference invocation
+    (utils/evaluate.py:6-15: ``-l en -norm``) for raw text too.
+    ``scripts/check_meteor_vs_jar.py`` verifies the equivalence when a
+    jar is available.
+    """
+    s = text.replace("<skipped>", "")
+    s = s.replace("-\n", "").replace("\n", " ")
+    s = (s.replace("&quot;", '"').replace("&amp;", "&")
+         .replace("&lt;", "<").replace("&gt;", ">"))
+    s = f" {s} "
+    if lowercase:
+        s = s.lower()
+    # tokenize punctuation except [.,] (handled digit-aware below):
+    # the mteval character classes {-~ [-` space-& (-+ :-@ /
+    s = re.sub(r"([\{-\~\[-\` -\&\(-\+\:-\@\/])", r" \1 ", s)
+    s = re.sub(r"([^0-9])([\.,])", r"\1 \2 ", s)   # . , not after a digit
+    s = re.sub(r"([\.,])([^0-9])", r" \1 \2", s)   # . , not before a digit
+    s = re.sub(r"([0-9])(-)", r"\1 \2 ", s)        # dash after a digit
+    return re.sub(r"\s+", " ", s).strip()
 
 # METEOR 1.5 English ("rank" task) parameters — the jar's `-l en` defaults
 ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
@@ -199,10 +231,10 @@ def _corpus(refs: Dict[str, List[str]], hyps: Dict[str, List[str]],
     """Best-reference segment stats aggregated, then scored once."""
     agg: Dict[str, float] = {}
     for img_id, hyp_list in hyps.items():
-        hyp = hyp_list[0].split()
+        hyp = normalize(hyp_list[0]).split()
         best, best_score = None, -1.0
         for ref_s in refs[img_id]:
-            st = _stats(hyp, ref_s.split())
+            st = _stats(hyp, normalize(ref_s).split())
             sc = score_fn(st)
             if sc > best_score:
                 best, best_score = st, sc

@@ -322,3 +322,79 @@ PTB_GOLDENS = [
 def test_ptb_tokenizer_goldens():
     for raw, want in PTB_GOLDENS:
         assert " ".join(tokenize(raw)) == want, raw
+
+
+def test_meteor_norm_pass_goldens():
+    """The -norm input pass (meteor.normalize ≡ the jar's Normalizer ≡
+    NIST mteval normalization): hand-derived cases covering entity
+    unescaping, digit-aware period/comma tokenization, dash-after-digit
+    splitting, punctuation spacing, and lowercasing."""
+    from mtn_tpu.evalmetrics.meteor import normalize
+    assert normalize("He said &quot;YES&amp;NO&quot;.") \
+        == 'he said " yes & no " .'
+    # decimal point/comma stay inside numbers; sentence period splits
+    assert normalize("It costs 3.50, not 4,000.") \
+        == "it costs 3.50 , not 4,000 ."
+    assert normalize("a 3-day trip") == "a 3 - day trip"
+    assert normalize("well-known fact") == "well-known fact"  # no digit
+    assert normalize("what?!(really)") == "what ? ! ( really )"
+    assert normalize("  spaced\tout \n lines ") == "spaced out lines"
+    assert normalize("<skipped>x</skipped>") == "x < / skipped >"
+    # already-PTB-tokenized pipeline text is a fixed point
+    assert normalize("he sits on the couch .") == "he sits on the couch ."
+
+
+def test_meteor15_norm_changes_alignment_golden():
+    """Scoring raw (unnormalized) text must match scoring the
+    pre-normalized text — the scorer applies -norm itself, like the
+    reference's jar invocation (utils/evaluate.py:6-15)."""
+    raw_ref = {1: ['He said "yes".']}
+    raw_hyp = {1: ['he said " yes " .']}
+    # identical after normalization -> the identity law fires
+    assert meteor(raw_ref, raw_hyp) == 1.0
+
+
+def test_meteor15_function_word_list_sensitivity_goldens():
+    """Function-word-sensitive cases (VERDICT r3 next #6c): pin scores
+    whose value depends on which tokens the function-word list
+    classifies, so any drift in the list is caught by value. Derived by
+    hand from the 1.5 formula with delta=0.75, alpha=0.85, gamma=0.6,
+    beta=0.2.
+
+    Case A: hyp drops only the function word 'the'.
+      ref = "the dog runs" (weights: the=0.25, dog/runs=0.75 -> den 1.75)
+      hyp = "dog runs"     (den 1.5), both matched exactly (w=1).
+      P = 1.5/1.5 = 1, R = 1.5/1.75, chunks=1 m=2 -> frag=0.5
+      fmean = P*R/(0.85*P + 0.15*R) = R/(0.85 + 0.15R)
+    """
+    from mtn_tpu.evalmetrics.meteor import ALPHA, BETA, DELTA, GAMMA
+    ref = {1: ["the dog runs"]}
+    P = 1.0
+    R = 1.5 / 1.75
+    fmean = P * R / (ALPHA * P + (1 - ALPHA) * R)
+    want = fmean * (1.0 - GAMMA * 0.5 ** BETA)
+    assert meteor(ref, {1: ["dog runs"]}) == pytest.approx(want, abs=1e-12)
+
+    # Case B: dropping the content word instead: hyp "the runs" matches
+    # the(r0) + runs(r2) — non-adjacent, chunks=2, frag=1.0 — and the
+    # weighted R = (0.25+0.75)/1.75; strictly lower than case A
+    R_b = 1.0 / 1.75
+    fmean_b = P * R_b / (ALPHA * P + (1 - ALPHA) * R_b)
+    want_b = fmean_b * (1.0 - GAMMA * 1.0 ** BETA)
+    assert meteor(ref, {1: ["the runs"]}) == pytest.approx(want_b, abs=1e-12)
+    assert want_b < want
+
+    # Case C: words OUR curated list must classify as function words for
+    # jar-law agreement ('the', 'is', 'very', 'of', 'it'); a list
+    # regression flips these weights and the pinned value.
+    # ref tokens: the(f) man(c) is(f) very(f) proud(c) of(f) it(f)
+    ref_c = {1: ["the man is very proud of it"]}
+    hyp_c = {1: ["man proud"]}
+    # matched: man, proud (content, w=1); chunks=2, m=2 -> frag=1.0
+    p_den = 2 * DELTA                       # man proud
+    r_den = 5 * (1 - DELTA) + 2 * DELTA
+    P_c = (2 * DELTA) / p_den               # = 1
+    R_c = (2 * DELTA) / r_den
+    fmean_c = P_c * R_c / (ALPHA * P_c + (1 - ALPHA) * R_c)
+    want_c = fmean_c * (1.0 - GAMMA * 1.0 ** BETA)
+    assert meteor(ref_c, hyp_c) == pytest.approx(want_c, abs=1e-12)
