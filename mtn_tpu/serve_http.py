@@ -340,8 +340,8 @@ class MTNServer(ThreadingHTTPServer):
                  include_eos: bool = True):
         if not hasattr(self.session, "rank"):
             raise NotSupported(
-                "ranking needs a live checkpoint session (--model); the "
-                "AOT artifact exports only the beam-decode program")
+                "ranking needs a live checkpoint session (--model) or an "
+                "AOT artifact exported with --rank N,L")
         if self.async_server is not None:
             # continuous batching: concurrent rank requests pack into one
             # candidate-tiled launch (AsyncServer.submit_rank)

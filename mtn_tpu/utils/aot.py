@@ -32,14 +32,19 @@ Usage::
 
 The loaded session decodes bit-identically to the live
 ``ServingSession`` *at the same frozen shapes* on the same platform
-(tests/test_aot.py): it is the same traced program, serialized. The
-same-shapes qualifier is load-bearing and inherited from the reference's
-mask law, not from AOT: a request with no history/caption has an
-all-``<blank>`` (fully masked) source, the ``-1e9`` mask fill
-(ops/attention.py, parity with reference mtn.py:221-231) degenerates to
-a uniform softmax over however many padded positions exist, so decode
-output for such rows varies with the padded length — in live serving
-(bucket sizes) exactly as here (frozen sizes).
+(tests/test_aot.py): it is the same traced program, serialized.
+Fully-masked sources (blank history/caption) are padding-invariant by
+the decode-time degenerate-source law
+(ops/masks.py::attend_first_if_empty — such rows attend key 0 only,
+the reference's batchsize-1 decode semantics), so frozen sizes do not
+perturb them.
+
+One artifact can carry several frozen batch-row buckets (``--batches
+1,4,16`` — a short burst is served by the smallest fitting program),
+a greedy or sampling program instead of the beam (``--decode-style``;
+the sample program takes ``(seed, fold)`` and reproduces the live draw
+law), and the discriminative rank program (``--rank N,L`` → the
+artifact serves ``/v1/rank``).
 """
 
 from __future__ import annotations
@@ -54,10 +59,15 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-_BLOB = "decode.jaxexport"
+_BLOB = "decode.jaxexport"          # legacy single-bucket artifact name
+_RANK_BLOB = "rank.jaxexport"
 _META = "meta.json"
 _VOCAB = "vocab.json"
 _CONF = "conf.json"
+
+
+def _bucket_blob(B: int) -> str:
+    return f"decode_b{B}.jaxexport"
 
 
 # ---------------------------------------------------------------------------
@@ -68,13 +78,31 @@ def export_decode(model_arg: str, out_dir: str, *, batch: int = 8,
                   query_len: int = 32, his_len: int = 128,
                   cap_len: int = 64, frames: Optional[Sequence[int]] = None,
                   decode_cfg=None, platforms: Sequence[str] = ("cpu", "tpu"),
-                  model_overrides: Optional[Dict] = None) -> dict:
-    """Export the beam-decode program for ``model_arg`` (a checkpoint
+                  model_overrides: Optional[Dict] = None,
+                  batches: Optional[Sequence[int]] = None,
+                  rank: Optional[Tuple[int, int]] = None) -> dict:
+    """Export the decode program(s) for ``model_arg`` (a checkpoint
     prefix, same grammar as serving/generate) into ``out_dir``.
 
     Returns the meta dict that was written. ``frames`` gives the frozen
     frame count per feature stream (defaults to 64 for every stream —
-    the run.sh I3D scale after frame-skip)."""
+    the run.sh I3D scale after frame-skip).
+
+    ``batches``: several frozen batch-row buckets in ONE artifact (e.g.
+    ``[1, 4, 16]``) — one serialized program per bucket, so a short
+    request burst is served by the smallest fitting program instead of
+    paying the max-batch shape. Default: just ``[batch]``.
+
+    ``decode_cfg.decode_style`` selects the exported program family:
+    ``beam_search`` (n-best completions), ``greedy`` or ``sample``
+    (token rows; the sample program takes ``(seed, fold)`` scalars and
+    reproduces the live session's draw law exactly).
+
+    ``rank=(N, L)`` additionally exports the discriminative rank
+    program (VisDial-style candidate scoring, BeamDecoder._build_rank)
+    frozen at N candidates of padded length L per turn, batch 1 — the
+    serving shape (ServingSession.rank scores one turn per call).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -83,6 +111,9 @@ def export_decode(model_arg: str, out_dir: str, *, batch: int = 8,
     from mtn_tpu.train.batch import DeviceBatch
 
     dcfg = decode_cfg or DecodeConfig()
+    style = dcfg.decode_style
+    if style not in ("beam_search", "greedy", "sample"):
+        raise ValueError(f"decode_style {style!r} cannot be exported")
     session = ServingSession.from_checkpoint(
         model_arg, dcfg, model_overrides=model_overrides)
     mcfg, datacfg = session.model_cfg, session.data_cfg
@@ -91,44 +122,103 @@ def export_decode(model_arg: str, out_dir: str, *, batch: int = 8,
     if len(frames) != n_streams:
         raise ValueError(f"--frames needs {n_streams} entries "
                          f"(streams {datacfg.fea_type}), got {len(frames)}")
+    buckets = sorted(set(int(b) for b in (batches or [batch])))
+    if not buckets or buckets[0] < 1:
+        raise ValueError(f"batches must be positive, got {buckets}")
 
     decoder = session.decoder
-    beam_fn = decoder._build_beam()
     params = session.params
     pad = decoder.pad
 
-    # Flat positional signature (no custom pytrees) so the deserialized
-    # call needs nothing registered: (query, his, cap, *fts, *fts_len).
-    def flat_fn(query, his, cap, *fts_and_lens):
+    def to_batch(query, his, cap, fts_and_lens):
         fts = tuple(fts_and_lens[:n_streams])
         fts_len = tuple(fts_and_lens[n_streams:])
         B = query.shape[0]
         dummy_ans = jnp.full((B, 1), pad, jnp.int32)
-        db = DeviceBatch(query=query, his=his, cap=cap,
-                         answer_in=dummy_ans, answer_out=dummy_ans,
-                         fts=fts, fts_len=fts_len,
-                         valid=jnp.ones((B,), bool))
-        return beam_fn(params, db)
+        return DeviceBatch(query=query, his=his, cap=cap,
+                           answer_in=dummy_ans, answer_out=dummy_ans,
+                           fts=fts, fts_len=fts_len,
+                           valid=jnp.ones((B,), bool))
+
+    # Flat positional signatures (no custom pytrees) so the deserialized
+    # call needs nothing registered: (query, his, cap, *fts, *fts_len
+    # [, seed, fold] [, cand, cand_len]).
+    if style == "beam_search":
+        inner = decoder._build_beam()
+
+        def flat_fn(query, his, cap, *fts_and_lens):
+            return inner(params, to_batch(query, his, cap, fts_and_lens))
+        extra_shapes = []
+    elif style == "greedy":
+        inner = decoder._build_greedy()
+
+        def flat_fn(query, his, cap, *fts_and_lens):
+            return inner(params, to_batch(query, his, cap, fts_and_lens))
+        extra_shapes = []
+    else:  # sample
+        inner = decoder._build_sample()
+
+        def flat_fn(query, his, cap, *fts_and_lens_seed):
+            seed, fold = fts_and_lens_seed[-2], fts_and_lens_seed[-1]
+            # the live draw law (BeamDecoder.sample_batch): PRNGKey(seed)
+            # folded by the caller's batch counter when it is nonzero
+            key = jax.random.PRNGKey(seed)
+            key = jax.lax.cond(fold != 0,
+                               lambda k: jax.random.fold_in(k, fold),
+                               lambda k: k, key)
+            return inner(params,
+                         to_batch(query, his, cap, fts_and_lens_seed[:-2]),
+                         key)
+        s0 = jax.ShapeDtypeStruct((), jnp.int32)
+        extra_shapes = [s0, s0]
 
     s = jax.ShapeDtypeStruct
-    arg_shapes = (
-        [s((batch, query_len), jnp.int32), s((batch, his_len), jnp.int32),
-         s((batch, cap_len), jnp.int32)]
-        + [s((batch, frames[i], mcfg.ft_sizes[i]), jnp.float32)
-           for i in range(n_streams)]
-        + [s((batch,), jnp.int32) for _ in range(n_streams)])
 
-    exp = jax.export.export(jax.jit(flat_fn),
-                            platforms=list(platforms))(*arg_shapes)
-    blob = exp.serialize()
+    def arg_shapes(B):
+        return (
+            [s((B, query_len), jnp.int32), s((B, his_len), jnp.int32),
+             s((B, cap_len), jnp.int32)]
+            + [s((B, frames[i], mcfg.ft_sizes[i]), jnp.float32)
+               for i in range(n_streams)]
+            + [s((B,), jnp.int32) for _ in range(n_streams)]
+            + extra_shapes)
 
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, _BLOB), "wb") as f:
-        f.write(blob)
+    blob_bytes = {}
+    for B in buckets:
+        exp = jax.export.export(jax.jit(flat_fn),
+                                platforms=list(platforms))(*arg_shapes(B))
+        blob = exp.serialize()
+        name = _bucket_blob(B)
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(blob)
+        blob_bytes[name] = len(blob)
+    rank_meta = None
+    if rank is not None:
+        N, L = int(rank[0]), int(rank[1])
+        rank_fn = decoder._build_rank(N, L)
+
+        def flat_rank_fn(query, his, cap, *rest):
+            cand, cand_len = rest[-2], rest[-1]
+            return rank_fn(params, to_batch(query, his, cap, rest[:-2]),
+                           cand, cand_len)
+
+        shapes = arg_shapes(1)[:3 + 2 * n_streams] + [
+            s((1, N, L), jnp.int32), s((1, N), jnp.int32)]
+        exp = jax.export.export(jax.jit(flat_rank_fn),
+                                platforms=list(platforms))(*shapes)
+        blob = exp.serialize()
+        with open(os.path.join(out_dir, _RANK_BLOB), "wb") as f:
+            f.write(blob)
+        blob_bytes[_RANK_BLOB] = len(blob)
+        rank_meta = {"n": N, "len": L, "batch": 1}
+
     meta = {
         "model_arg": model_arg,
         "epoch": session.epoch,
-        "batch": batch,
+        "batch": max(buckets),          # serving launch size (turn_batch)
+        "batches": buckets,
+        "style": style,
         "query_len": query_len,
         "his_len": his_len,
         "cap_len": cap_len,
@@ -137,8 +227,10 @@ def export_decode(model_arg: str, out_dir: str, *, batch: int = 8,
         "ft_sizes": list(mcfg.ft_sizes),
         "platforms": list(platforms),
         "decode": _to_jsonable(dcfg),
+        "rank": rank_meta,
         "jax_version": jax.__version__,
-        "blob_bytes": len(blob),
+        "blob_bytes": sum(blob_bytes.values()),
+        "blobs": blob_bytes,
     }
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
@@ -164,16 +256,18 @@ class AotSession:
     objects, same ``DecodeResult`` n-best rows, same history/caption
     encoding law via ``encode_requests``) but runs the deserialized
     program: no checkpoint restore, no flax module, no Python re-trace.
-    Oversized batches are chunked to the exported row count; sequences
-    longer than the exported lengths raise (tokens) or are
-    frame-truncated (features — the same cap law as bucketed serving).
-    Drop-in for the HTTP front-end's lock-serialized path
-    (``python -m mtn_tpu.serve_http --aot <dir>``); the live-only
-    surfaces (rank/stream/hot-reload) intentionally do not exist here —
-    serve_http answers 501 for them."""
+    Oversized batches are chunked to the exported row buckets (each
+    chunk uses the smallest bucket that fits, so short bursts don't pay
+    the max-batch shape); sequences longer than the exported lengths
+    raise (tokens) or are frame-truncated (features — the same cap law
+    as bucketed serving). Drop-in for the HTTP front-end's
+    lock-serialized path (``python -m mtn_tpu.serve_http --aot <dir>``);
+    artifacts exported with ``rank=(N, L)`` also serve ``/v1/rank`` via
+    :meth:`rank` — the remaining live-only surfaces (stream/hot-reload,
+    and rank on artifacts without the rank program) answer 501."""
 
     #: serving front-ends (serve_http) key off this to route the
-    #: live-only surfaces (rank/stream/reload) to 501 Not Implemented
+    #: live-only surfaces (stream/reload) to 501 Not Implemented
     is_aot = True
 
     def __init__(self, art_dir: str):
@@ -192,17 +286,38 @@ class AotSession:
         self.model_cfg = config_from_dict("model", conf["model"])
         self.data_cfg = config_from_dict("data", conf["data"])
         # the decode config frozen into the exported program; turn_batch
-        # reflects the artifact's row count (the serving launch size)
+        # reflects the artifact's largest row bucket (the launch size)
         self.decode_cfg = dataclasses.replace(
             config_from_dict("decode", self.meta["decode"]),
             turn_batch=int(self.meta["batch"]))
+        self.style = self.meta.get("style", "beam_search")
         self.model_arg = self.meta.get("model_arg")
         self.epoch = self.meta.get("epoch")
         self.vlist = vocab_list(self.vocab)
-        with open(os.path.join(art_dir, _BLOB), "rb") as f:
-            self._exp = jax.export.deserialize(f.read())
+        self._dir = art_dir
+        self._deserialize = jax.export.deserialize
+        self._exps: Dict[int, object] = {}
+        self.buckets = sorted(int(b) for b in self.meta.get(
+            "batches", [self.meta["batch"]]))
+        self._legacy = not os.path.exists(
+            os.path.join(art_dir, _bucket_blob(self.buckets[0])))
+        self._rank_exp = None
+        if self.meta.get("rank"):
+            with open(os.path.join(art_dir, _RANK_BLOB), "rb") as f:
+                self._rank_exp = self._deserialize(f.read())
+            # serve_http routes /v1/rank via hasattr(session, "rank")
+            self.rank = self._rank
         self._pad = self.vocab["<blank>"]
         self._eos = self.vocab["<eos>"]
+        self._sample_calls = 0
+
+    def _exp_for(self, B: int):
+        """The deserialized program for row bucket ``B`` (lazy-loaded)."""
+        if B not in self._exps:
+            name = _BLOB if self._legacy else _bucket_blob(B)
+            with open(os.path.join(self._dir, name), "rb") as f:
+                self._exps[B] = self._deserialize(f.read())
+        return self._exps[B]
 
     # -- host-side shape fitting -----------------------------------------
     def _fit_tokens(self, arr: np.ndarray, L: int, what: str) -> np.ndarray:
@@ -221,33 +336,106 @@ class AotSession:
         out[:, :min(t, T)] = arr[:, :T]
         return out, np.minimum(ln, T).astype(np.int32)
 
+    def _flat_args(self, hb, rows: int):
+        args = [self._fit_tokens(hb.query, self.meta["query_len"], "query"),
+                self._fit_tokens(hb.his, self.meta["his_len"], "his"),
+                self._fit_tokens(hb.cap, self.meta["cap_len"], "cap")]
+        lens = []
+        for i, T in enumerate(self.meta["frames"]):
+            ft, ln = self._fit_features(hb.fts[i], hb.fts_len[i], T)
+            args.append(ft)
+            lens.append(ln)
+        return args + lens
+
+    def _chunk_sizes(self, n: int) -> List[int]:
+        """Greedy bucket plan for n requests: drain with the largest
+        bucket, then the smallest bucket that fits the remainder."""
+        sizes, biggest = [], self.buckets[-1]
+        while n > 0:
+            if n >= biggest:
+                sizes.append(biggest)
+                n -= biggest
+            else:
+                sizes.append(next(b for b in self.buckets if b >= n))
+                n = 0
+        return sizes
+
     def respond_batch(self, requests) -> List["DecodeResult"]:
         from mtn_tpu.decode.beam import completions_to_results, detokenize
         from mtn_tpu.serve import DecodeResult, encode_requests
 
-        rows = int(self.meta["batch"])
         out: List[DecodeResult] = []
-        for at in range(0, len(requests), rows):
+        at = 0
+        for rows in self._chunk_sizes(len(requests)):
             chunk = list(requests[at:at + rows])
+            at += rows
             hb = encode_requests(chunk, self.model_cfg, self.data_cfg,
                                  self.vocab, pad_rows_to=rows)
-            args = [self._fit_tokens(hb.query, self.meta["query_len"], "query"),
-                    self._fit_tokens(hb.his, self.meta["his_len"], "his"),
-                    self._fit_tokens(hb.cap, self.meta["cap_len"], "cap")]
-            lens = []
-            for i, T in enumerate(self.meta["frames"]):
-                ft, ln = self._fit_features(hb.fts[i], hb.fts_len[i], T)
-                args.append(ft)
-                lens.append(ln)
-            comp_scores, comp_buf, comp_len, _ = self._exp.call(
-                *args, *lens)
-            results = completions_to_results(
-                np.asarray(comp_scores), np.asarray(comp_buf),
-                np.asarray(comp_len), hb.valid)
-            out.extend(DecodeResult(
-                [(a, float(sc)) for a, sc in
-                 r.texts(self.vlist, self._eos)]) for r in results)
+            flat = self._flat_args(hb, rows)
+            exp = self._exp_for(rows)
+            if self.style == "beam_search":
+                comp_scores, comp_buf, comp_len, _ = exp.call(*flat)
+                results = completions_to_results(
+                    np.asarray(comp_scores), np.asarray(comp_buf),
+                    np.asarray(comp_len), hb.valid)
+                out.extend(DecodeResult(
+                    [(a, float(sc)) for a, sc in
+                     r.texts(self.vlist, self._eos)]) for r in results)
+            else:
+                if self.style == "sample":
+                    seed = np.int32(self.decode_cfg.sample_seed)
+                    fold = np.int32(self._sample_calls)
+                    self._sample_calls += 1
+                    toks = np.asarray(exp.call(*flat, seed, fold))
+                else:
+                    toks = np.asarray(exp.call(*flat))
+                for b in range(toks.shape[0]):
+                    if not hb.valid[b]:
+                        continue
+                    text = detokenize(toks[b, 1:], self.vlist, self._eos)
+                    out.append(DecodeResult([(text, 0.0)]))
         return out
+
+    # -- discriminative ranking (exported with rank=(N, L)) ---------------
+    def _rank(self, request, candidates: Sequence[str],
+              include_eos: bool = True):
+        """VisDial-style candidate ranking via the exported rank
+        program — same signature and return value as
+        ``ServingSession.rank``: ``[(candidate, logp, rank), ...]`` in
+        input order. Candidate count/length are frozen at export
+        (meta['rank']); oversize raises with a re-export pointer."""
+        from mtn_tpu.data.vocab import words2ids
+        from mtn_tpu.evalmetrics.retrieval import rank_of
+        from mtn_tpu.serve import encode_requests
+
+        if not candidates:
+            raise ValueError("no candidates to rank")
+        rmeta = self.meta["rank"]
+        N, L = int(rmeta["n"]), int(rmeta["len"])
+        if len(candidates) > N:
+            raise ValueError(
+                f"{len(candidates)} candidates exceed the exported rank "
+                f"capacity {N}; re-export with a larger --rank")
+        extra = 1 if include_eos else 0
+        cand = np.full((1, N, L), self._pad, np.int32)
+        clen = np.zeros((1, N), np.int32)
+        for i, c in enumerate(candidates):
+            # ServingSession._cand_ids law: strip words2ids' <sos>/<eos>
+            toks = words2ids(c, self.vocab)[1:-1].tolist()
+            toks = toks + ([self._eos] if include_eos else [])
+            if len(toks) > L:
+                raise ValueError(
+                    f"candidate {i} needs {len(toks)} tokens, exported "
+                    f"rank length is {L}; re-export with a larger --rank")
+            cand[0, i, :len(toks)] = toks
+            clen[0, i] = len(toks)
+        hb = encode_requests([request], self.model_cfg, self.data_cfg,
+                             self.vocab, pad_rows_to=int(rmeta["batch"]))
+        flat = self._flat_args(hb, int(rmeta["batch"]))
+        scores = np.asarray(self._rank_exp.call(*flat, cand, clen))[0]
+        scores = [float(s) for s in scores[:len(candidates)]]
+        return [(c, s, rank_of(scores, i))
+                for i, (c, s) in enumerate(zip(candidates, scores))]
 
     def respond(self, question: str, history=(), caption: str = "",
                 features: Optional[Dict[str, np.ndarray]] = None) -> str:
@@ -285,17 +473,33 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     pe.add_argument("--model", required=True)
     pe.add_argument("--out", required=True)
     pe.add_argument("--batch", type=int, default=8)
+    pe.add_argument("--batches", default="",
+                    help="comma list of frozen batch-row buckets (e.g. "
+                         "1,4,16) — one program per bucket in one "
+                         "artifact; short requests use the smallest "
+                         "fitting bucket. Default: just --batch")
     pe.add_argument("--query-len", type=int, default=32)
     pe.add_argument("--his-len", type=int, default=128)
     pe.add_argument("--cap-len", type=int, default=64)
     pe.add_argument("--frames", default="",
                     help="comma list, one per feature stream (default 64)")
     pe.add_argument("--platforms", default="cpu,tpu")
+    pe.add_argument("--decode-style", default="beam_search",
+                    choices=["beam_search", "greedy", "sample"],
+                    help="program family to export")
+    pe.add_argument("--temperature", type=float, default=None)
+    pe.add_argument("--top-k", type=int, default=None)
+    pe.add_argument("--top-p", type=float, default=None)
+    pe.add_argument("--sample-seed", type=int, default=None)
     pe.add_argument("--beam", type=int, default=None)
     pe.add_argument("--nbest", type=int, default=None)
     pe.add_argument("--maxlen", type=int, default=None)
     pe.add_argument("--penalty", type=float, default=None)
     pe.add_argument("--min-len", type=int, default=None)
+    pe.add_argument("--rank", default="",
+                    help="N,L — additionally export the discriminative "
+                         "rank program frozen at N candidates of padded "
+                         "length L (serves /v1/rank in --aot serving)")
 
     pi = sub.add_parser("info", help="print artifact metadata")
     pi.add_argument("artifact")
@@ -310,20 +514,33 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     args = p.parse_args(argv)
     if args.cmd == "export":
         from mtn_tpu.config import DecodeConfig
-        dcfg = DecodeConfig()
-        for field in ("beam", "nbest", "maxlen", "penalty", "min_len"):
+        dcfg = DecodeConfig(decode_style=args.decode_style)
+        for field in ("beam", "nbest", "maxlen", "penalty", "min_len",
+                      "temperature", "top_k", "top_p", "sample_seed"):
             v = getattr(args, field)
             if v is not None:
                 setattr(dcfg, field, v)
         frames = ([int(x) for x in args.frames.split(",") if x]
                   if args.frames else None)
+        batches = ([int(x) for x in args.batches.split(",") if x]
+                   if args.batches else None)
+        rank = None
+        if args.rank:
+            parts = [int(x) for x in args.rank.split(",")]
+            if len(parts) != 2:
+                p.error("--rank needs N,L (e.g. 100,24)")
+            rank = (parts[0], parts[1])
         meta = export_decode(
             args.model, args.out, batch=args.batch,
             query_len=args.query_len, his_len=args.his_len,
             cap_len=args.cap_len, frames=frames, decode_cfg=dcfg,
-            platforms=[s for s in args.platforms.split(",") if s])
+            platforms=[s for s in args.platforms.split(",") if s],
+            batches=batches, rank=rank)
         print(json.dumps({"out": args.out,
-                          "blob_bytes": meta["blob_bytes"]}))
+                          "blob_bytes": meta["blob_bytes"],
+                          "batches": meta["batches"],
+                          "style": meta["style"],
+                          "rank": meta["rank"]}))
         return 0
     if args.cmd == "info":
         with open(os.path.join(args.artifact, _META)) as f:

