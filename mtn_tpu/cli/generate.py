@@ -57,11 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "measured 1.32x decode on a trained model — "
                              "0 runs the fixed-maxlen scan)")
     parser.add_argument("--weights-quant", default="", type=str,
-                        choices=["", "int8"],
+                        choices=["", "int8", "int8-fp-head"],
                         help="'int8': decode with weight-only-quantized "
                              "kernels (per-channel scales, dequant fused "
                              "into the matmul reads — "
-                             "mtn_tpu/utils/quantize.py); default full "
+                             "mtn_tpu/utils/quantize.py); 'int8-fp-head' "
+                             "keeps the vocab head full precision (the "
+                             "measured fidelity point); default full "
                              "precision")
     parser.add_argument("--multihost", default="", type=str,
                         help="join a multi-host run: 'auto' (TPU pod) or "
@@ -313,7 +315,8 @@ def main(argv=None):
                              "(quantization happens host-side)")
         from mtn_tpu.utils.quantize import quantize_params
         logging.info("quantizing decode weights: %s", args.weights_quant)
-        params = quantize_params(params)
+        params = quantize_params(
+            params, skip_generator=(args.weights_quant == "int8-fp-head"))
     logging.info("--------------------generate--------------------")
     t0 = time.time()
     result, wall, n = generate_responses(

@@ -151,10 +151,19 @@ class ServingSession:
         # Opt-in weight-only int8 for the served decode programs
         # (mtn_tpu/utils/quantize.py): kernels stored int8 + per-channel
         # scales, dequant fused into the matmul reads. "" = full
-        # precision (the parity-proven default).
-        if weights_quant not in ("", "int8"):
+        # precision (the parity-proven default); "int8-fp-head" keeps
+        # the vocab-projection head(s) full precision — the measured
+        # fidelity point (BENCH.md "Weight-only int8 decode": top-1
+        # agreement 96.4% vs 93.8% full-int8, same speed).
+        if weights_quant not in ("", "int8", "int8-fp-head"):
             raise ValueError(f"weights_quant {weights_quant!r} "
-                             "(expected '' or 'int8')")
+                             "(expected '', 'int8' or 'int8-fp-head')")
+        if weights_quant and mesh is not None and \
+                any(n > 1 for n in mesh.shape.values()):
+            # same rule as the generate CLI: quantization happens
+            # host-side onto one device; re-laying the int8 tree out
+            # over a mesh is unsupported
+            raise ValueError("weights_quant is single-device serving")
         self.weights_quant = weights_quant
         self.params = self._maybe_quantize(params)
         self.model_cfg = model_cfg
@@ -175,9 +184,11 @@ class ServingSession:
         self.epoch = None       # checkpoint epoch currently served
 
     def _maybe_quantize(self, params):
-        if getattr(self, "weights_quant", ""):
+        wq = getattr(self, "weights_quant", "")
+        if wq:
             from mtn_tpu.utils.quantize import quantize_params
-            return quantize_params(params)
+            return quantize_params(params,
+                                   skip_generator=(wq == "int8-fp-head"))
         return params
 
     @classmethod

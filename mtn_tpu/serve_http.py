@@ -840,6 +840,14 @@ def main(argv=None) -> int:
                              "quantized features + f32 row scales, ~1/4 "
                              "the bytes, <=1/254 per-frame rounding — "
                              "docs/BENCH.md 'Feature transfer')")
+    parser.add_argument("--weights-quant", default="",
+                        choices=["", "int8", "int8-fp-head"],
+                        help="serve weight-only-quantized decode programs "
+                             "(mtn_tpu/utils/quantize.py; measured perf-"
+                             "neutral, 4x smaller resident weights — "
+                             "docs/BENCH.md 'Weight-only int8 decode'; "
+                             "int8-fp-head keeps the vocab head full "
+                             "precision, the measured fidelity point)")
     add_logging_args(parser)
     args = parser.parse_args(argv)
     setup_logging(args.verbose)
@@ -863,7 +871,7 @@ def main(argv=None) -> int:
         frozen = ["beam", "penalty", "nbest", "maxlen", "min_len",
                   "temperature", "top_k", "top_p", "sample_seed",
                   "turn_batch", "mesh_data", "mesh_model",
-                  "fused_decode_qkv", "feature_transfer"]
+                  "fused_decode_qkv", "feature_transfer", "weights_quant"]
         bad = [f for f in frozen
                if getattr(args, f) != parser.get_default(f)]
         if bad:
@@ -889,7 +897,8 @@ def main(argv=None) -> int:
                      if args.fused_decode_qkv else None)
         session = ServingSession.from_checkpoint(
             args.model, decode_cfg, mesh=mesh, model_overrides=overrides,
-            feature_transfer=args.feature_transfer)
+            feature_transfer=args.feature_transfer,
+            weights_quant=args.weights_quant)
     if args.warmup:
         sec = session.warmup(stream=hasattr(session, "stream"))
         logging.info("warmup: decode programs compiled in %.1fs", sec)

@@ -100,7 +100,8 @@ def dequantize_kernel(q: np.ndarray, scale: np.ndarray) -> np.ndarray:
 
 
 def quantize_params(params, include_vid_encoder: bool = False,
-                    bits: int = 8) -> QuantizedParams:
+                    bits: int = 8,
+                    skip_generator: bool = False) -> QuantizedParams:
     """Quantize every decode-path linear kernel in a param tree.
 
     ``params``: the model param tree (as restored from a checkpoint).
@@ -108,7 +109,11 @@ def quantize_params(params, include_vid_encoder: bool = False,
     (w_q/w_k/w_v/w_o), FFN layers (w_1/w_2) and generator head(s)
     (proj); embeddings, LayerNorms, biases and the positional tables
     stay full precision. ``include_vid_encoder`` additionally quantizes
-    the per-stream video feature projections.
+    the per-stream video feature projections. ``skip_generator`` keeps
+    the vocab-projection head(s) full precision — the logits are where
+    rounding error most directly moves the argmax/beam order, and the
+    head is a small fraction of the model's bytes (fidelity knob,
+    measured by scripts/bench_quant.py).
     """
     def rec(node, path):
         if not isinstance(node, dict):
@@ -116,9 +121,12 @@ def quantize_params(params, include_vid_encoder: bool = False,
         out, scales = {}, {}
         for key, val in node.items():
             in_vid = any(p.startswith("vid_encoder") for p in path + (key,))
+            in_gen = any(p == "generator" or p.startswith("ae_generator")
+                         for p in path + (key,))
             if (isinstance(val, dict) and "kernel" in val
                     and key in _QUANT_MODULES
-                    and (include_vid_encoder or not in_vid)):
+                    and (include_vid_encoder or not in_vid)
+                    and not (skip_generator and in_gen)):
                 q, scale = quantize_kernel(val["kernel"], bits)
                 new_val = dict(val)
                 new_val["kernel"] = q
@@ -136,6 +144,16 @@ def quantize_params(params, include_vid_encoder: bool = False,
     qtree, stree = rec(params, ())
     if not stree:
         raise ValueError("quantize_params: no quantizable kernels found")
+    # Commit the quantized leaves to device. The quantization math above
+    # runs in numpy (host), but a checkpoint-restored param tree is
+    # device-resident — leaving the int8 kernels as host numpy would
+    # make every jitted decode call re-upload ~all the model bytes
+    # through the host↔device transport (measured: 10 rps vs 437 on the
+    # relay — the whole quantization win erased and then some).
+    import jax
+    import jax.numpy as jnp
+    qtree = jax.tree.map(jnp.asarray, qtree)
+    stree = jax.tree.map(jnp.asarray, stree)
     return QuantizedParams(params=qtree, qscales=stree)
 
 

@@ -109,9 +109,14 @@ def main():
         res = [dec.beam_results(o, b.valid) for o, b in zip(outs, batches)]
         return len(batches) * TURN_BATCH / sec, res
 
+    variants = [("f32", params), ("int8", qparams)]
+    if "--fp-head" in sys.argv:
+        # fidelity knob: generator head kept full precision
+        variants.append(("int8_fp_head",
+                         quantize_params(params, skip_generator=True)))
     out = {}
     res_by = {}
-    for name, p in (("f32", params), ("int8", qparams)):
+    for name, p in variants:
         rps, res = run(p, early=False)
         rps_early, _ = run(p, early=True)
         out[f"rps_{name}"] = round(rps, 1)
@@ -120,19 +125,26 @@ def main():
         print(f"# {name}: fixed {rps:.1f} rps, early {rps_early:.1f} rps",
               file=sys.stderr)
 
-    # fidelity: compare int8 vs f32 n-bests turn by turn
-    top1 = nbest = total = 0
-    for rf, rq in zip(res_by["f32"], res_by["int8"]):
-        for bf, bq in zip(rf, rq):
-            total += 1
-            top1 += int(bf.tokens[0] == bq.tokens[0])
-            nbest += int(bf.tokens == bq.tokens)
+    # fidelity: compare each quantized variant vs f32, n-bests turn by turn
+    for name in res_by:
+        if name == "f32":
+            continue
+        top1 = nbest = total = 0
+        for rf, rq in zip(res_by["f32"], res_by[name]):
+            for bf, bq in zip(rf, rq):
+                total += 1
+                top1 += int(bf.tokens[0] == bq.tokens[0])
+                nbest += int(bf.tokens == bq.tokens)
+        suff = "" if name == "int8" else "_fp_head"
+        out.update({
+            f"speedup{suff}": round(out[f"rps_{name}"] / out["rps_f32"], 3),
+            f"speedup_early{suff}": round(
+                out[f"rps_{name}_early"] / out["rps_f32_early"], 3),
+            f"top1_agree{suff}": round(top1 / max(total, 1), 4),
+            f"nbest_agree{suff}": round(nbest / max(total, 1), 4),
+        })
     out.update(
-        speedup=round(out["rps_int8"] / out["rps_f32"], 3),
-        speedup_early=round(out["rps_int8_early"] / out["rps_f32_early"], 3),
-        top1_agree=round(top1 / max(total, 1), 4),
-        nbest_agree=round(nbest / max(total, 1), 4),
-        turns=total,
+        turns=len(batches) * TURN_BATCH,
         int8_mbytes=round(sizes["int8"] / 1e6, 1),
         float_mbytes=round(sizes["other"] / 1e6, 1),
     )

@@ -76,6 +76,30 @@ def test_quantize_params_structure(setup):
     assert all(d != np.int8 for k, d in kinds.items() if k.endswith("bias"))
 
 
+def test_quantize_params_skip_generator(setup):
+    cfg, model, params, db = setup
+    qp = quantize_params(params, skip_generator=True)
+    int8_keys = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(qp.params)[0]:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if np.asarray(leaf).dtype == np.int8:
+            int8_keys.append(name)
+    # the head(s) stay full precision, the bulk still quantizes
+    assert not any("generator" in k for k in int8_keys)
+    assert any("self_attn/w_q" in k for k in int8_keys)
+    assert any("ff/w_1" in k for k in int8_keys)
+
+
+def test_quantize_params_device_resident(setup):
+    # quantized leaves must be jax Arrays (committed to device), not
+    # host numpy — numpy leaves re-upload per jitted call (BENCH.md
+    # "Weight-only int8 decode": 10 rps vs 437 through the relay)
+    cfg, model, params, db = setup
+    qp = quantize_params(params)
+    for leaf in jax.tree.leaves(qp.params) + jax.tree.leaves(qp.qscales):
+        assert isinstance(leaf, jax.Array), type(leaf)
+
+
 def _dequantized_tree(params, qp: QuantizedParams):
     """params with every quantized kernel replaced by q·scale."""
     def rec(orig, q, s):
@@ -182,6 +206,13 @@ def test_serving_session_weights_quant(served):
     assert isinstance(quant.params, QuantizedParams)
     out2 = quant.respond_batch([Request(question="is it raining ?")])
     assert isinstance(out2[0][0], str)
+    # the fidelity point: fp head stays float in the served tree
+    fp = ServingSession.from_checkpoint(prefix + "_best", dcfg,
+                                        weights_quant="int8-fp-head")
+    gen = fp.params.params["generator"]["proj"]["kernel"]
+    assert np.asarray(gen).dtype == np.float32
+    out3 = fp.respond_batch([Request(question="is there any audio ?")])
+    assert isinstance(out3[0][0], str)
 
 
 def test_bad_weights_quant_rejected():
