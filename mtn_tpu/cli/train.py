@@ -78,6 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="rematerialize decoder layers in backward "
                              "(jax.checkpoint): ~1 extra forward of FLOPs "
                              "for O(1-layer) activation memory")
+    parser.add_argument("--batched-ae", default=0, type=int,
+                        help="run the per-stream QAE chains as stacked "
+                             "batched GEMMs (one kernel per sublayer "
+                             "instead of n_streams; measured 1.05x train "
+                             "step — docs/BENCH.md 'Batched QAE'). "
+                             "Checkpoints are interchangeable with the "
+                             "sequential path; dropout draw order differs")
     parser.add_argument("--accum-steps", default=1, type=int,
                         help="gradient accumulation: one optimizer update "
                              "per N batches (exact one-big-batch math, one "
@@ -184,7 +191,8 @@ def main(argv=None):
         auto_encoder_ft=args.auto_encoder_ft, dtype=args.dtype,
         use_pallas_attention=bool(args.use_pallas_attention),
         use_pallas_ffn=bool(args.use_pallas_ffn),
-        remat=bool(args.remat), attn_dropout=args.attn_dropout)
+        remat=bool(args.remat), attn_dropout=args.attn_dropout,
+        batched_ae=bool(args.batched_ae))
     data_cfg = DataConfig(
         fea_type=(list(fea_type) if fea_type else []),
         train_path=args.train_path,

@@ -58,6 +58,15 @@ class ModelConfig:
     # the defaults policy (docs/BENCH.md) it ships OPT-IN; measurement in
     # docs/BENCH.md "Decode QKV fusion" (scripts/bench_qkv_fusion.py).
     fused_decode_qkv: bool = False
+    # batch the per-stream Query-Aware Auto-Encoder chains (AE self-attn
+    # → AE-vid attn → AE FFN) into stacked einsum GEMMs over a stream
+    # axis — ONE kernel per sublayer instead of n_streams — cutting QAE
+    # dispatches S-fold. Mathematically equivalent (streams are
+    # independent; padded vid keys are exact-zero after softmax);
+    # dropout draw ORDER differs, so stochastic training matches only in
+    # distribution. Opt-in by the defaults policy (docs/BENCH.md
+    # "Batched QAE"); measured by scripts/bench_batched_ae.py.
+    batched_ae: bool = False
     # rematerialization: recompute each decoder layer's activations in
     # the backward pass (jax.checkpoint via nn.remat) instead of storing
     # them — trades ~1 extra forward of FLOPs for O(1-layer) activation

@@ -203,13 +203,14 @@ class DecoderLayer(nn.Module):
             seed, ae_mask = enc.query, masks.query
         if ae_fts is None:
             ae_fts = seed
-        out_ae = []
+        # the AE chains are independent of x (and of each other), so
+        # computing them all first ≡ interleaving them with the x
+        # updates; _ae_streams batches them when cfg.batched_ae
+        out_ae = self._ae_streams(ae_fts, enc, masks, ae_mask, det)
         for i in range(self.cfg.n_streams):
-            ae = ae_fts[i] if isinstance(ae_fts, (list, tuple)) else ae_fts
-            ae = self._ae_stream(i, ae, enc.vid[i], masks.vid[i], ae_mask, det)
+            ae = out_ae[i]
             x = self.sl_x_ae[i](x, lambda y, ae=ae: self.ae_attn[i](
                 y, ae, ae, ae_mask, det), det)
-            out_ae.append(ae)
         x = self.sl_ff(x, lambda y: self.ff(y, det), det)
         return x, tuple(out_ae)
 
@@ -220,6 +221,112 @@ class DecoderLayer(nn.Module):
         ae = self.sl_ae_vid[i](ae, lambda y: self.ae_vid_attn[i](
             y, vid_ft, vid_ft, vid_mask, det), det)
         ae = self.sl_ae_ff[i](ae, lambda y: self.ae_ff[i](y, det), det)
+        return ae
+
+    def _ae_streams(self, ae_fts, enc: Encoded, masks: SourceMasks, ae_mask,
+                    det) -> List[jnp.ndarray]:
+        """All streams' AE chains; dispatches to the batched
+        implementation when ``cfg.batched_ae`` (and >1 stream)."""
+        pick = lambda i: (ae_fts[i] if isinstance(ae_fts, (list, tuple))
+                          else ae_fts)
+        # during init the batched path cannot run: it reads sibling
+        # modules' .variables directly, which exist only after creation.
+        # Falling back to the sequential chain also guarantees the param
+        # tree is created in the exact sequential structure/order, so
+        # batched_ae checkpoints are interchangeable with sequential ones.
+        if self.cfg.batched_ae and self.cfg.n_streams > 1 \
+                and not self.is_initializing():
+            stacked = self._ae_streams_batched(
+                [pick(i) for i in range(self.cfg.n_streams)],
+                enc.vid, masks.vid, ae_mask, det)
+            return [stacked[i] for i in range(self.cfg.n_streams)]
+        return [self._ae_stream(i, pick(i), enc.vid[i], masks.vid[i],
+                                ae_mask, det)
+                for i in range(self.cfg.n_streams)]
+
+    def _ae_streams_batched(self, ae_list, enc_vid, vid_masks, ae_mask,
+                            det) -> jnp.ndarray:
+        """The per-stream QAE chains as stacked batched GEMMs.
+
+        The S chains are independent (each consumes only its own AE
+        state and video stream), so each sublayer runs as ONE einsum
+        over a stacked (S, B, L, D) tensor instead of S module calls —
+        the dispatch-count experiment of docs/BENCH.md "Batched QAE".
+        Per-stream video lengths are padded to the max and masked; a
+        fully-masked key scores exp(-1e9)→0 in the f32 softmax, so the
+        padding is mathematically invisible. Dropout (residual + attn
+        probs) draws fresh rngs over the stacked shape — same
+        distribution as the sequential loop, different draw order.
+        Int8-quantized kernels (utils/quantize.py) are handled by
+        stacking their per-channel scales alongside."""
+        cfg = self.cfg
+        S, D, H = cfg.n_streams, cfg.d_model, cfg.att_h
+        dt = jnp.dtype(cfg.dtype)
+        maxT = max(int(v.shape[1]) for v in enc_vid)
+        vid = jnp.stack([
+            jnp.pad(v, ((0, 0), (0, maxT - v.shape[1]), (0, 0)))
+            for v in enc_vid])                                # (S,B,T,D)
+        vmask = jnp.stack([
+            jnp.pad(m, ((0, 0), (0, 0), (0, maxT - m.shape[-1])))
+            for m in vid_masks])                              # (S,B,1,T)
+        ae = jnp.stack(ae_list)                               # (S,B,L,D)
+        B = ae.shape[1]
+        amask = jnp.broadcast_to(ae_mask[None], (S,) + ae_mask.shape)
+
+        stk = lambda f: jnp.stack([f(i) for i in range(S)])
+
+        def drop(x):
+            if det or cfg.dropout == 0.0:
+                return x
+            keep = jax.random.bernoulli(self.make_rng("dropout"),
+                                        1.0 - cfg.dropout, x.shape)
+            return jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
+
+        def norm(x, subs):
+            # RefLayerNorm math (layers.py) with stacked scale/bias
+            a = stk(lambda i: subs[i].norm.variables["params"]["scale"])
+            b = stk(lambda i: subs[i].norm.variables["params"]["bias"])
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.sum(jnp.square(xf - mean), axis=-1,
+                          keepdims=True) / (D - 1)
+            y = a[:, None, None, :] * (xf - mean) / (jnp.sqrt(var) + 1e-6) \
+                + b[:, None, None, :]
+            return y.astype(x.dtype)
+
+        def lin(x, mods, name):
+            subs = [getattr(m, name) for m in mods]
+            W = stk(lambda i: subs[i].kernel)
+            y = jnp.einsum("sbld,sde->sble", x.astype(dt), W.astype(dt))
+            scale0 = subs[0].scale()
+            if scale0 is not None:  # int8 kernels: per-channel scales
+                y = y * stk(lambda i: subs[i].scale()).astype(
+                    dt)[:, None, None, :]
+            return y + stk(lambda i: subs[i].bias).astype(
+                dt)[:, None, None, :]
+
+        def mha(mods, xq, xkv, mask):
+            from mtn_tpu.ops.attention import multi_head_attention
+            q, k, v = (lin(xq, mods, "w_q"), lin(xkv, mods, "w_k"),
+                       lin(xkv, mods, "w_v"))
+            split = lambda t: t.reshape(
+                S * B, -1, H, D // H).transpose(0, 2, 1, 3)
+            rate = 0.0 if det else cfg.attn_dropout
+            rng = self.make_rng("dropout") if rate > 0.0 else None
+            out = multi_head_attention(
+                split(q), split(k), split(v),
+                mask.reshape(S * B, 1, 1, mask.shape[-1]),
+                dropout_rate=rate, dropout_rng=rng,
+                use_pallas=cfg.use_pallas_attention)
+            out = out.transpose(0, 2, 1, 3).reshape(S, B, -1, D)
+            return lin(out, mods, "w_o")
+
+        y = norm(ae, self.sl_ae_self)
+        ae = ae + drop(mha(self.ae_self_attn, y, y, amask))
+        ae = ae + drop(mha(self.ae_vid_attn, norm(ae, self.sl_ae_vid),
+                           vid, vmask))
+        h = jax.nn.relu(lin(norm(ae, self.sl_ae_ff), self.ae_ff, "w_1"))
+        ae = ae + drop(lin(drop(h), self.ae_ff, "w_2"))
         return ae
 
     # -- decode-time precompute --------------------------------------------
@@ -233,13 +340,9 @@ class DecoderLayer(nn.Module):
             seed, ae_mask = enc.query, masks.query
         if ae_fts is None:
             ae_fts = seed
-        out_ae, ae_kv = [], []
-        for i in range(self.cfg.n_streams):
-            ae = ae_fts[i] if isinstance(ae_fts, (list, tuple)) else ae_fts
-            ae = self._ae_stream(i, ae, enc.vid[i], masks.vid[i], ae_mask,
-                                 det=True)
-            out_ae.append(ae)
-            ae_kv.append(self.ae_attn[i].project_kv(ae))
+        out_ae = self._ae_streams(ae_fts, enc, masks, ae_mask, det=True)
+        ae_kv = [self.ae_attn[i].project_kv(out_ae[i])
+                 for i in range(self.cfg.n_streams)]
         cache = LayerDecodeCache(
             his_kv=self.his_attn.project_kv(enc.his),
             cap_kv=self.cap_attn.project_kv(enc.cap),

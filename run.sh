@@ -73,6 +73,9 @@ remat=1                 # 1 (default): rematerialize decoder layers in
                         # activation memory at ~one layer; numerics are
                         # bitwise-identical (test_remat_identical_loss_
                         # and_grads). 0 restores store-everything.
+batched_ae=0            # 1: per-stream QAE chains as stacked batched
+                        # GEMMs (1.05x train step measured; checkpoints
+                        # interchangeable — BENCH.md "Batched QAE")
 grad_clip=0.0           # >0: clip gradients to this global L2 norm
 patience=0              # >0: early-stop after N epochs without a new
                         # best validation loss
@@ -172,6 +175,7 @@ if [ $stage -le 2 ]; then
       --uniform-shapes ${uniform_shapes_train} \
       --accum-steps ${accum_steps} \
       --remat ${remat} \
+      --batched-ae ${batched_ae} \
       --grad-clip ${grad_clip} \
       --patience ${patience} \
       --async-save ${async_save}
