@@ -12,14 +12,22 @@ def add_logging_args(parser: argparse.ArgumentParser):
 
 
 def setup_logging(verbose: int):
+    # force=True: importing orbax (e.g. via the decode/serving import
+    # chain) installs a root StreamHandler at import time, which would
+    # make a plain basicConfig a silent no-op — the root logger stays
+    # at WARNING and every INFO line (checkpoint restore, the serving
+    # announce line tests and operators wait for) vanishes. Observed as
+    # a serve_http CLI that boots but never logs; force=True replaces
+    # whatever import side effects installed.
     if verbose >= 1:
         logging.basicConfig(
             level=logging.DEBUG,
             format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: "
-                   "%(message)s")
+                   "%(message)s", force=True)
     else:
         logging.basicConfig(level=logging.INFO,
-                            format="%(asctime)s %(levelname)s: %(message)s")
+                            format="%(asctime)s %(levelname)s: %(message)s",
+                            force=True)
 
 
 def print_args(args: argparse.Namespace):

@@ -549,6 +549,24 @@ def test_http_cli_main_end_to_end(served):
     assert rc == 0
 
 
+def test_setup_logging_wins_over_import_side_effects():
+    """Importing orbax (via the serve_http -> serve -> beam -> quantize
+    -> mtn_tpu.utils chain) installs a root StreamHandler at import
+    time; a plain basicConfig after that is a silent no-op, which once
+    made the serve_http CLI boot without EVER logging (root stuck at
+    WARNING — no restore lines, no announce line; the e2e test above
+    deadlocked waiting for it). setup_logging(force=True) must win
+    regardless of import order."""
+    import logging
+
+    import mtn_tpu.serve_http  # noqa: F401  (the import chain at issue)
+    from mtn_tpu.cli.common import setup_logging
+    setup_logging(0)
+    root = logging.getLogger()
+    assert root.getEffectiveLevel() <= logging.INFO
+    assert len(root.handlers) == 1
+
+
 def test_rank_endpoint(http_server):
     """POST /v1/rank: the VisDial-style discriminative mode over HTTP."""
     srv, base, feats = http_server
