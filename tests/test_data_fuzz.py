@@ -229,10 +229,26 @@ def test_data_laws_match_reference(ref_mods, tmp_path, seed):
 
         skip = combo["skip"]
         for plan, r_idx in zip(plans, ref_idx):
-            ref_batch = ref_dh.make_batch(
-                ref_data, r_idx, ref_vocab,
-                separate_caption=combo["separate_caption"],
-                skip=skip, cut_a=False)
+            try:
+                ref_batch = ref_dh.make_batch(
+                    ref_data, r_idx, ref_vocab,
+                    separate_caption=combo["separate_caption"],
+                    skip=skip, cut_a=False)
+            except RuntimeError as e:
+                # the reference's own Batch crashes when a stream's
+                # post-skip frame count is exactly 1: its
+                # fts_mask.squeeze() (data_utils.py:28-30) collapses the
+                # T'==1 dim, so expand_as fails ("The expanded size of
+                # the tensor..."). Like the broken 3-D path, this is a
+                # reference defect with no output to compare against —
+                # assert OUR side still materializes the batch, and
+                # move on (PARITY.md C7).
+                assert "expanded size" in str(e), e
+                hb = make_batch(ours, plan,
+                                separate_caption=combo["separate_caption"],
+                                skip=skip, cut_a=False)
+                assert any(f.shape[1] == 1 for f in hb.fts)
+                continue
             hb = make_batch(ours, plan,
                             separate_caption=combo["separate_caption"],
                             skip=skip, cut_a=False)
