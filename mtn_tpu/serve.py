@@ -41,6 +41,14 @@ class ServerOverloaded(RuntimeError):
     piling onto an unbounded queue."""
 
 
+class DeadlineExceeded(RuntimeError):
+    """A request's deadline passed before its decode launched. Expired
+    requests are shed *before* consuming device time (there is no way
+    to cancel a launched XLA program), so under overload the device
+    only works on requests whose caller is still waiting. HTTP maps
+    this to 504."""
+
+
 class DecodeResult(tuple):
     """An ``(answer, score)`` pair that also carries the full n-best.
 
@@ -62,6 +70,15 @@ class Request:
     history: List[Tuple[str, str]] = dataclasses.field(default_factory=list)
     caption: str = ""
     features: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    # absolute time.monotonic() seconds; None = no deadline. Checked at
+    # launch time (AsyncServer) / after the session lock is acquired
+    # (serve_http lock path) — an expired request is shed with
+    # DeadlineExceeded instead of occupying the device.
+    deadline: Optional[float] = None
+
+    def expired(self) -> bool:
+        import time as _time
+        return self.deadline is not None and _time.monotonic() > self.deadline
 
 
 def encode_requests(requests: Sequence[Request], model_cfg, data_cfg, vocab,
@@ -411,6 +428,7 @@ class AsyncServer:
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self.launches = 0       # program launches (for tests/metrics)
+        self.n_expired = 0      # requests shed at launch (DeadlineExceeded)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -480,6 +498,18 @@ class AsyncServer:
         # this scheduler thread). set_running_or_notify_cancel() both
         # filters those out and makes the survivors uncancellable.
         items = [it for it in items if it[3].set_running_or_notify_cancel()]
+        # shed expired requests before they consume a launch slot: a
+        # dispatched XLA program cannot be cancelled, so the deadline
+        # check happens at the last host-side moment
+        live = []
+        for it in items:
+            if it[1].expired():
+                self.n_expired += 1
+                it[3].set_exception(DeadlineExceeded(
+                    "deadline passed before the decode launched"))
+            else:
+                live.append(it)
+        items = live
         if not items:
             return None
         kind = items[0][0]

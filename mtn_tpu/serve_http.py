@@ -109,8 +109,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from mtn_tpu.serve import (AsyncServer, Request, ServerOverloaded,
-                           ServingSession)
+from mtn_tpu.serve import (AsyncServer, DeadlineExceeded, Request,
+                           ServerOverloaded, ServingSession)
 
 
 class BadRequest(ValueError):
@@ -195,8 +195,16 @@ def parse_request(obj) -> Request:
     caption = obj.get("caption", "")
     if not isinstance(caption, str):
         raise BadRequest("'caption' must be a string")
+    deadline = None
+    if "deadline_ms" in obj:
+        dl = obj["deadline_ms"]
+        if not isinstance(dl, (int, float)) or isinstance(dl, bool) \
+                or dl <= 0:
+            raise BadRequest("'deadline_ms' must be a positive number")
+        deadline = time.monotonic() + float(dl) / 1e3
     return Request(question=question, history=history, caption=caption,
-                   features=_parse_features(obj.get("features")))
+                   features=_parse_features(obj.get("features")),
+                   deadline=deadline)
 
 
 class LatencyHistogram:
@@ -301,6 +309,8 @@ class MTNServer(ThreadingHTTPServer):
         self.n_reloads = 0
         self.n_rejected = 0
         self.n_unsupported = 0
+        self.n_expired_lock = 0  # lock-path deadline sheds (504); the
+        #                          async path counts its own n_expired
         self._admitted = 0
         self._count_lock = threading.Lock()
         self.latency = LatencyHistogram()
@@ -330,10 +340,20 @@ class MTNServer(ThreadingHTTPServer):
                 yield
         return gate()
 
+    def _check_deadline(self, req: Request):
+        """Lock-path deadline shed: checked AFTER the session lock is
+        acquired, i.e. just before device work would start (the async
+        path does the same at launch, AsyncServer._launch)."""
+        if req.expired():
+            self.count_expired()
+            raise DeadlineExceeded(
+                "deadline passed while waiting for the decode slot")
+
     def respond_one(self, req: Request) -> Tuple[str, float]:
         if self.async_server is not None:
             return self.async_server.respond(req)
         with self._admission(), self._lock:
+            self._check_deadline(req)
             return self.session.respond_batch([req])[0]
 
     def rank_one(self, req: Request, candidates: List[str],
@@ -348,6 +368,7 @@ class MTNServer(ThreadingHTTPServer):
             return self.async_server.submit_rank(
                 req, candidates, include_eos=include_eos).result()
         with self._admission(), self._lock:
+            self._check_deadline(req)
             return self.session.rank(req, candidates,
                                      include_eos=include_eos)
 
@@ -365,6 +386,14 @@ class MTNServer(ThreadingHTTPServer):
                 raise
             return [f.result() for f in futs]
         with self._admission(), self._lock:
+            # batch lock path: expired rows ride along for free inside
+            # the padded launch, but if EVERY request expired there is
+            # no caller left to serve — skip the launch entirely
+            if reqs and all(r.expired() for r in reqs):
+                self.count_expired()
+                raise DeadlineExceeded(
+                    "every request's deadline passed while waiting "
+                    "for the decode slot")
             return self.session.respond_batch(reqs)
 
     def queue_depth(self) -> int:
@@ -382,6 +411,7 @@ class MTNServer(ThreadingHTTPServer):
             "errors": e,
             "rejected": rej,
             "unsupported": unsup,
+            "expired": self.n_expired(),
             "queue_depth": self.queue_depth(),
             "draining": self.draining,
             "launches": (self.async_server.launches
@@ -431,6 +461,10 @@ class MTNServer(ThreadingHTTPServer):
             "type does not serve (501; not errors).",
             "# TYPE mtn_unsupported_total counter",
             f"mtn_unsupported_total {unsupported}",
+            "# HELP mtn_expired_total Requests shed with 504 because "
+            "their deadline passed before the decode launched.",
+            "# TYPE mtn_expired_total counter",
+            f"mtn_expired_total {self.n_expired()}",
             "# HELP mtn_queue_depth Requests waiting for a decode slot.",
             "# TYPE mtn_queue_depth gauge",
             f"mtn_queue_depth {self.queue_depth()}",
@@ -465,6 +499,18 @@ class MTNServer(ThreadingHTTPServer):
     def count_rejected(self):
         with self._count_lock:
             self.n_rejected += 1
+
+    def count_expired(self):
+        with self._count_lock:
+            self.n_expired_lock += 1
+
+    def n_expired(self) -> int:
+        """Total requests shed for a passed deadline (504), both paths."""
+        with self._count_lock:
+            n = self.n_expired_lock
+        if self.async_server is not None:
+            n += self.async_server.n_expired
+        return n
 
     def count_unsupported(self):
         # 501s (live-only route probed on an AOT server) are tracked on
@@ -747,6 +793,11 @@ class _Handler(BaseHTTPRequestHandler):
             srv.count_rejected()
             self._send(503, {"error": str(e)},
                        extra_headers={"Retry-After": "1"})
+        except DeadlineExceeded as e:
+            # the shed itself is already counted (count_expired /
+            # AsyncServer.n_expired); 504 is not an error: the server
+            # is healthy, the caller's budget ran out
+            self._send(504, {"error": str(e)})
         except NotSupported as e:
             srv.count_unsupported()
             self._send(501, {"error": str(e)})

@@ -472,3 +472,29 @@ def test_async_server_rank_batching(served):
     assert [r for _, _, r in g] == [r for _, _, r in sync_noeos]
     with pytest.raises(ValueError):
         srv.submit_rank(reqs[0], [])
+
+
+def test_async_server_deadline_shedding(served):
+    """A request whose deadline passes before launch is shed with
+    DeadlineExceeded at the last host-side moment (no device work);
+    live-deadline requests keep serving and the scheduler survives."""
+    import time
+
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import (AsyncServer, DeadlineExceeded, Request,
+                               ServingSession)
+    prefix, feats = served
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2,
+                                       turn_batch=4))
+    srv = AsyncServer(session, max_wait_ms=1.0)
+    fut = srv.submit(Request(question="hello",
+                             deadline=time.monotonic() - 0.001))
+    with pytest.raises(DeadlineExceeded):
+        fut.result(timeout=120)
+    assert srv.n_expired == 1
+    ok = srv.respond(Request(question="is there any sound ?",
+                             deadline=time.monotonic() + 600.0),
+                     timeout=120)
+    srv.stop()
+    assert isinstance(ok[0], str)

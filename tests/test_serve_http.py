@@ -567,6 +567,33 @@ def test_setup_logging_wins_over_import_side_effects():
     assert len(root.handlers) == 1
 
 
+def test_deadline_ms_over_http(http_server):
+    """'deadline_ms' in the request body: an already-hopeless budget is
+    shed with 504 before device work; a generous one serves normally;
+    bad values are 400; sheds land on the 'expired' stat, not errors."""
+    srv, base, feats = http_server
+    _, stats0 = _get(base + "/stats")
+    try:
+        _post(base + "/v1/respond", {"question": "is there any sound ?",
+                                     "deadline_ms": 0.01})
+        assert False, "expected 504"
+    except urllib.error.HTTPError as e:
+        assert e.code == 504
+    code, out = _post(base + "/v1/respond",
+                      {"question": "is there any sound ?",
+                       "deadline_ms": 600000})
+    assert code == 200 and isinstance(out["answer"], str)
+    try:
+        _post(base + "/v1/respond", {"question": "x ?", "deadline_ms": -5})
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    _, stats1 = _get(base + "/stats")
+    assert stats1["expired"] >= stats0["expired"] + 1
+    assert stats1["errors"] == stats0["errors"] + 1  # only the 400
+    assert "mtn_expired_total" in _get_text(base + "/metrics")
+
+
 def test_rank_endpoint(http_server):
     """POST /v1/rank: the VisDial-style discriminative mode over HTTP."""
     srv, base, feats = http_server
