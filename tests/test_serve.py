@@ -498,3 +498,29 @@ def test_async_server_deadline_shedding(served):
                      timeout=120)
     srv.stop()
     assert isinstance(ok[0], str)
+
+
+def test_async_server_rank_deadline_shedding(served):
+    """Deadline shedding applies to rank launches too (the check lives
+    in AsyncServer._launch, shared by both kinds)."""
+    import time
+
+    from mtn_tpu.config import DecodeConfig
+    from mtn_tpu.serve import (AsyncServer, DeadlineExceeded, Request,
+                               ServingSession)
+    prefix, feats = served
+    session = ServingSession.from_checkpoint(
+        prefix + "_best", DecodeConfig(maxlen=6, beam=2, nbest=2,
+                                       turn_batch=4))
+    srv = AsyncServer(session, max_wait_ms=1.0)
+    cands = ["yes", "no", "a man sits"]
+    fut = srv.submit_rank(Request(question="is there any sound ?",
+                                  deadline=time.monotonic() - 0.001),
+                          cands)
+    with pytest.raises(DeadlineExceeded):
+        fut.result(timeout=120)
+    got = srv.submit_rank(Request(question="is there any sound ?"),
+                          cands).result(timeout=300)
+    srv.stop()
+    assert srv.n_expired >= 1
+    assert [c for c, _, _ in got] == cands
