@@ -41,20 +41,49 @@ import numpy as np
 import pytest
 
 
+def _is_full_suite_run(config) -> bool:
+    """True iff this pytest invocation selected the WHOLE suite: no
+    marker/keyword filters, no --deselect/--last-failed, and every
+    positional arg (if any) resolves to the tests directory itself.
+    Node-id args like tests/test_x.py or tests/test_x.py::name are
+    partial by definition."""
+    opt = config.option
+    if getattr(opt, "markexpr", "") or getattr(opt, "keyword", ""):
+        return False
+    if getattr(opt, "deselect", None) or getattr(opt, "lf", False) \
+            or getattr(opt, "last_failed", False):
+        return False
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(tests_dir)
+    for a in config.args:
+        path = os.path.abspath(a.split("::")[0])
+        if path not in (tests_dir, root):
+            return False
+    return True
+
+
 def pytest_sessionfinish(session, exitstatus):
-    """Write machine-checkable suite evidence to SUITE.txt (repo root).
+    """Write machine-checkable suite evidence (repo root).
 
     VERDICT r3 weak #5: the axon re-exec can swallow pytest's final
     "N passed" summary line when piped, silently degrading the
     CLAUDE.md "record the pass line" protocol. This hook records the
     exit status and per-outcome counts from inside the (re-exec'd)
     pytest process itself, so the evidence survives any terminal-layer
-    loss. The file is overwritten by every pytest run — the snapshot
-    protocol is: run the FULL suite last, then commit SUITE.txt.
+    loss.
+
+    VERDICT r4 weak #1 / ADVICE r4: SUITE.txt was last-write-wins, so a
+    targeted re-run after the full suite silently clobbered the
+    full-suite record (it happened to the round-4 snapshot). Now only an
+    UNFILTERED whole-suite invocation writes the canonical SUITE.txt;
+    any filtered/targeted run writes SUITE.partial.txt instead — a
+    snapshot therefore cannot lose its full-suite proof to a later
+    spot-check.
     """
     import datetime
     import json
     try:
+        full = _is_full_suite_run(session.config)
         tr = session.config.pluginmanager.get_plugin("terminalreporter")
         stats = {k: len(v) for k, v in tr.stats.items() if k} if tr else {}
         payload = {
@@ -64,9 +93,11 @@ def pytest_sessionfinish(session, exitstatus):
             "collected": int(getattr(session, "testscollected", -1)),
             "failed": int(getattr(session, "testsfailed", -1)),
             "outcomes": stats,
+            "full_suite": full,
         }
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(root, "SUITE.txt"), "w") as f:
+        name = "SUITE.txt" if full else "SUITE.partial.txt"
+        with open(os.path.join(root, name), "w") as f:
             f.write(json.dumps(payload, sort_keys=True) + "\n")
     except Exception:
         pass  # evidence is best-effort; never fail the suite over it
