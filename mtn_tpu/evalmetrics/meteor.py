@@ -227,14 +227,22 @@ def _score_15(st: Dict[str, float]) -> float:
 
 
 def _corpus(refs: Dict[str, List[str]], hyps: Dict[str, List[str]],
-            score_fn) -> float:
-    """Best-reference segment stats aggregated, then scored once."""
+            score_fn, normalize_input: bool = True) -> float:
+    """Best-reference segment stats aggregated, then scored once.
+
+    ``normalize_input`` applies the 1.5 jar's ``-norm`` mteval pass
+    (the reference invocation, utils/evaluate.py:6-15). The 2005 mode
+    predates ``-norm`` and scores the text as given (ADVICE r4: the
+    pass must not silently change meteor_2005 for raw-text callers —
+    on PTB-tokenized pipeline text it is a near no-op either way).
+    """
+    prep = normalize if normalize_input else (lambda s: s)
     agg: Dict[str, float] = {}
     for img_id, hyp_list in hyps.items():
-        hyp = normalize(hyp_list[0]).split()
+        hyp = prep(hyp_list[0]).split()
         best, best_score = None, -1.0
         for ref_s in refs[img_id]:
-            st = _stats(hyp, normalize(ref_s).split())
+            st = _stats(hyp, prep(ref_s).split())
             sc = score_fn(st)
             if sc > best_score:
                 best, best_score = st, sc
@@ -250,6 +258,11 @@ def meteor(refs: Dict[str, List[str]], hyps: Dict[str, List[str]]) -> float:
 
 
 def meteor_2005(refs: Dict[str, List[str]],
-                hyps: Dict[str, List[str]]) -> float:
-    """Corpus METEOR with the classic 2005 constants (comparison mode)."""
-    return _corpus(refs, hyps, _score_2005)
+                hyps: Dict[str, List[str]],
+                normalize_input: bool = False) -> float:
+    """Corpus METEOR with the classic 2005 constants (comparison mode).
+
+    The 2005 scorer predates the jar's ``-norm`` pass, so input is
+    scored as given by default (ADVICE r4); pass
+    ``normalize_input=True`` to opt into the mteval normalization."""
+    return _corpus(refs, hyps, _score_2005, normalize_input=normalize_input)

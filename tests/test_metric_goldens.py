@@ -354,6 +354,20 @@ def test_meteor15_norm_changes_alignment_golden():
     assert meteor(raw_ref, raw_hyp) == 1.0
 
 
+def test_meteor_2005_scores_text_as_given():
+    """The 2005 mode predates -norm, so it must score raw text as
+    given (ADVICE r4). Self-scoring 'a "b"' as-given yields 2 matched
+    tokens (frag penalty 0.5*(1/2)^3), while the -norm pass splits the
+    quotes into 4 tokens (penalty 0.5*(1/4)^3) — hand-derived pins."""
+    refs = hyps = {1: ['a "b"']}
+    assert meteor_2005(refs, hyps) == pytest.approx(0.9375)
+    assert meteor_2005(refs, hyps, normalize_input=True) \
+        == pytest.approx(0.9921875)
+    # the default 1.5 scorer keeps normalizing (reference invocation
+    # law): fully-matched single chunk -> the identity law fires
+    assert meteor(refs, hyps) == 1.0
+
+
 def test_meteor15_function_word_list_sensitivity_goldens():
     """Function-word-sensitive cases (VERDICT r3 next #6c): pin scores
     whose value depends on which tokens the function-word list
