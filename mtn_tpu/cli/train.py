@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="also save a rotating step-indexed checkpoint "
                              "every N train steps (resume with "
                              "--resume step)")
+    parser.add_argument("--feature-cache", default="", type=str,
+                        help="directory for the write-once padded-"
+                             "feature-block disk cache: epoch 1 stores "
+                             "each batch's feature block in the transfer "
+                             "dtype (int8 quantizes ONCE), later epochs "
+                             "mmap it instead of re-reading every .npy "
+                             "(mtn_tpu/data/feature_cache.py)")
     parser.add_argument("--async-save", default=0, type=int,
                         help="non-blocking checkpoint writes: save() "
                              "returns once arrays are copied off-device; "
@@ -205,6 +212,13 @@ def main(argv=None):
         vocab_cutoff=args.vocab_cutoff, length_bucket=args.length_bucket,
         feature_bucket=args.feature_bucket, prefetch=args.prefetch,
         feature_dtype=args.feature_transfer or args.dtype)
+    feature_cache = None
+    if args.feature_cache:
+        from mtn_tpu.data.feature_cache import FeatureCache
+        feature_cache = FeatureCache(args.feature_cache,
+                                     transfer=data_cfg.feature_dtype)
+        logging.info("feature cache: %s (transfer %s)", args.feature_cache,
+                     data_cfg.feature_dtype)
     if args.accum_steps > 1 and not args.uniform_shapes:
         raise SystemExit("--accum-steps > 1 requires --uniform-shapes 1 "
                          "(accumulation groups stack equal-shape batches)")
@@ -294,7 +308,8 @@ def main(argv=None):
             it = BatchIterator(train_data, plans_ep[start_b:],
                                data_cfg, train=True,
                                seed_key=(args.rand_seed, epoch),
-                               start=start_b, transform=to_device)
+                               start=start_b, transform=to_device,
+                               feature_cache=feature_cache)
             accum = args.accum_steps
             if accum > 1:
                 from mtn_tpu.train.batch import accumulated
@@ -315,7 +330,8 @@ def main(argv=None):
             logging.info("epoch: %d  train loss: %f", epoch + 1, train_loss)
             logging.info("-------validation--------")
             vit = BatchIterator(valid_data, valid_plans, data_cfg,
-                                train=False, transform=to_device)
+                                train=False, transform=to_device,
+                                feature_cache=feature_cache)
             _, valid_loss = trainer.run_epoch(state, vit, train=False)
             logging.info("epoch: %d validation loss: %f", epoch + 1,
                          valid_loss)

@@ -157,8 +157,8 @@ def make_batch(data: DialogueDataset, plan: BatchPlan,
                skip: Sequence[int] = (1, 1, 1), cut_a: bool = False,
                cut_a_p: float = 0.5, rng: Optional[np.random.Generator] = None,
                length_bucket: int = 1, feature_bucket: int = 1,
-               pad_rows_to: int = 0, use_native_loader: bool = True
-               ) -> HostBatch:
+               pad_rows_to: int = 0, use_native_loader: bool = True,
+               feature_cache=None) -> HostBatch:
     pad = data.vocab[BLANK]
     n = plan.n_seqs
     rows = max(n, pad_rows_to) if pad_rows_to else n
@@ -191,12 +191,16 @@ def make_batch(data: DialogueDataset, plan: BatchPlan,
         qa_ids=list(plan.qa_ids),
     )
     if data.features is not None:
+        from mtn_tpu.data.feature_cache import QuantFeature
         max_frames = [_round_up(x, feature_bucket) for x in plan.x_len]
         fts, lens = load_features(data.features, plan.vids, max_frames, skip,
-                                  use_native=use_native_loader)
+                                  use_native=use_native_loader,
+                                  cache=feature_cache)
         if rows > n:
-            fts = [np.concatenate(
-                [f, np.zeros((rows - n,) + f.shape[1:], f.dtype)]) for f in fts]
+            fts = [f.pad_rows(rows) if isinstance(f, QuantFeature)
+                   else np.concatenate(
+                       [f, np.zeros((rows - n,) + f.shape[1:], f.dtype)])
+                   for f in fts]
             lens = [np.concatenate(
                 [l, np.zeros((rows - n,), l.dtype)]) for l in lens]
         batch.fts, batch.fts_len = fts, lens

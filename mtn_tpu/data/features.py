@@ -131,7 +131,8 @@ def _load_npy(path: str) -> np.ndarray:
 
 def load_features(registry: FeatureRegistry, vids: Sequence[str],
                   max_frames: Sequence[int], skip: Sequence[int],
-                  use_native: bool = True) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+                  use_native: bool = True,
+                  cache=None) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """Load and pad one batch of per-video features.
 
     Returns ``(fts, fts_len)`` where ``fts[i]`` is a zero-padded
@@ -147,6 +148,13 @@ def load_features(registry: FeatureRegistry, vids: Sequence[str],
     turns of the same dialog; the reference re-reads the file per example,
     data_handler.py:233) are read from disk once and scattered to their
     rows — output-identical, host-I/O-proportional to *unique* videos.
+
+    ``cache``: an optional :class:`~mtn_tpu.data.feature_cache.
+    FeatureCache`. First touch of a (paths, frames, skip) block stores
+    it in transfer form; later epochs serve the block from the cache's
+    mmap (VERDICT r4 #6 — with int8 transfer the block may come back as
+    a ``QuantFeature``, which ``device_batch`` ships without
+    re-quantizing).
     """
     native = _get_native() if use_native else None
     B = len(vids)
@@ -155,6 +163,14 @@ def load_features(registry: FeatureRegistry, vids: Sequence[str],
     for i in range(len(registry)):
         paths = [registry.path(i, vid) for vid in vids]
         s = skip[i] if i < len(skip) else 1
+        ckey = None
+        if cache is not None:
+            ckey = cache.key(paths, int(max_frames[i]), int(s))
+            hit = cache.get(ckey)
+            if hit is not None:
+                fts.append(hit[0])
+                lens.append(hit[1])
+                continue
         arr = ln = None
         if native is not None and all(p.endswith(".npy") for p in paths):
             # the C++ loader implements the same 3-D flatten law (see
@@ -192,6 +208,8 @@ def load_features(registry: FeatureRegistry, vids: Sequence[str],
                 n = min(a.shape[0], arr.shape[1])
                 arr[j, :n] = a[:n]
                 ln[j] = n
+        if ckey is not None:
+            arr = cache.put(ckey, arr, ln)  # returns transfer form
         fts.append(arr)
         lens.append(ln)
     return fts, lens

@@ -31,13 +31,16 @@ class BatchIterator:
                  prefetch: Optional[int] = None,
                  transform=None,
                  seed_key: Optional[Sequence[int]] = None,
-                 start: int = 0):
+                 start: int = 0, feature_cache=None):
         self.data = data
         self.plans = list(plans)
         self.cfg = cfg
         self.train = train
         self.rng = rng or np.random.default_rng(0)
         self.prefetch = cfg.prefetch if prefetch is None else prefetch
+        # write-once transfer-dtype block cache (feature_cache.py):
+        # epoch 1 fills it, later epochs serve feature blocks from mmap
+        self.feature_cache = feature_cache
         # applied in the producer thread — e.g. device_batch, so the
         # host->device transfer overlaps the previous step's compute
         self.transform = transform
@@ -60,7 +63,8 @@ class BatchIterator:
             cut_a_p=cfg.cut_a_p, rng=rng,
             length_bucket=cfg.length_bucket, feature_bucket=cfg.feature_bucket,
             pad_rows_to=(cfg.batch_size if cfg.pad_batch_to_full else 0),
-            use_native_loader=cfg.use_native_loader)
+            use_native_loader=cfg.use_native_loader,
+            feature_cache=self.feature_cache)
         return self.transform(hb) if self.transform is not None else hb
 
     def __len__(self) -> int:

@@ -63,12 +63,18 @@ def _int8_transfer(f: np.ndarray) -> jnp.ndarray:
 
 def device_batch(hb: HostBatch,
                  feature_dtype: str = "float32") -> DeviceBatch:
+    from mtn_tpu.data.feature_cache import QuantFeature
     cap = hb.cap
     if cap is None:
         # all-<blank> single-column caption; its pad mask is all-False
         cap = np.ones((hb.query.shape[0], 1), dtype=np.int32)
     if feature_dtype == "int8":
-        fts = tuple(_int8_transfer(f) for f in hb.fts)
+        # a cached QuantFeature is already the int8 wire form — ship it
+        # without re-quantizing (feature_cache.py; bitwise-identical)
+        fts = tuple(
+            _dequant_int8(jnp.asarray(f.q), jnp.asarray(f.scale))
+            if isinstance(f, QuantFeature) else _int8_transfer(f)
+            for f in hb.fts)
     else:
         fdt = jnp.dtype(feature_dtype) if feature_dtype != "float32" else None
         fts = tuple(jnp.asarray(f if fdt is None else f.astype(fdt))

@@ -64,6 +64,9 @@ feature_bucket=32
 use_pallas_attention=0  # opt-in: slower at flagship shapes (docs/BENCH.md)
 use_pallas_ffn=0        # opt-in: e2e-neutral at flagship shapes (BENCH.md)
 feature_transfer=""     # ''|bfloat16|int8: host->device feature precision
+feature_cache=""        # dir: write-once padded-feature-block disk cache
+                        # (epoch 1 stores transfer-dtype blocks, later
+                        # epochs mmap them — data/feature_cache.py)
 uniform_shapes_train=0  # 1: single compiled train step (pad to maxima)
 accum_steps=1           # >1: gradient accumulation (one optimizer update
                         # per N batches; requires uniform_shapes_train=1)
@@ -178,7 +181,8 @@ if [ $stage -le 2 ]; then
       --batched-ae ${batched_ae} \
       --grad-clip ${grad_clip} \
       --patience ${patience} \
-      --async-save ${async_save}
+      --async-save ${async_save} \
+      --feature-cache "${feature_cache}"
 fi
 
 # testing phase
