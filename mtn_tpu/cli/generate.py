@@ -304,19 +304,19 @@ def main(argv=None):
             ref_data = json.load(f)
     from mtn_tpu.cli.common import make_mesh_from_args
     mesh, shardings = make_mesh_from_args(args, batch_size=args.turn_batch)
+    if args.weights_quant:
+        # quantize FIRST (host-side numpy over the single-device tree),
+        # then lay the int8 tree out over the mesh with the same specs
+        # as f32 (kernel_scale rules in parallel/sharding.py)
+        from mtn_tpu.utils.quantize import quantize_params
+        logging.info("quantizing decode weights: %s", args.weights_quant)
+        params = quantize_params(
+            params, skip_generator=(args.weights_quant == "int8-fp-head"))
     if mesh is not None:
         logging.info("decoding under mesh %s", dict(mesh.shape))
         # params were restored onto one device; lay them out over the mesh
         # (replicated under pure dp, tp-sharded when --mesh-model > 1)
         params = shardings.shard_state(params)
-    if args.weights_quant:
-        if mesh is not None and any(n > 1 for n in mesh.shape.values()):
-            raise SystemExit("--weights_quant is single-device serving "
-                             "(quantization happens host-side)")
-        from mtn_tpu.utils.quantize import quantize_params
-        logging.info("quantizing decode weights: %s", args.weights_quant)
-        params = quantize_params(
-            params, skip_generator=(args.weights_quant == "int8-fp-head"))
     logging.info("--------------------generate--------------------")
     t0 = time.time()
     result, wall, n = generate_responses(

