@@ -91,9 +91,13 @@ server starts hermetically (no Orbax restore, no flax module, no
 re-trace; the frozen beam program is deserialized straight into XLA).
 ``/v1/respond``/``/v1/respond_batch`` and all observability/drain
 routes work identically (requests serialize behind the session lock at
-the artifact's exported batch size); the live-only surfaces —
-``/v1/rank``, ``/v1/stream``, ``/admin/reload`` — answer **501** with
-an explanatory message. ``/stats`` reports ``"aot": true``.
+the artifact's exported batch size). ``/v1/rank`` serves when the
+artifact was exported with ``--rank N,L``; ``/v1/stream`` when it
+carries the streaming programs (default); ``/admin/reload`` hot-swaps
+to a re-exported artifact (``"model"`` may name a new artifact dir)
+and ``--watch-seconds`` automates the swap on a changed ``export_id``.
+A surface whose program is absent from the artifact answers **501**
+with an explanatory message. ``/stats`` reports ``"aot": true``.
 """
 
 from __future__ import annotations
@@ -372,7 +376,14 @@ class MTNServer(ThreadingHTTPServer):
             return self.session.rank(req, candidates,
                                      include_eos=include_eos)
 
-    def respond_many(self, reqs: List[Request]) -> List[Tuple[str, float]]:
+    def respond_many(self, reqs: List[Request]):
+        """Batch decode with PER-ROW deadline semantics (ADVICE r4):
+        a row whose deadline passed before its launch is shed
+        individually — its slot in the returned list holds the
+        DeadlineExceeded exception while live rows still decode — so a
+        mixed batch matches the single-request path instead of quietly
+        serving expired callers. Only when EVERY row expired does the
+        whole call raise (mapped to 504, like /v1/respond)."""
         if self.async_server is not None:
             # submit all first so the scheduler can pack them together;
             # if the queue bound hits mid-way, release what was queued
@@ -384,17 +395,31 @@ class MTNServer(ThreadingHTTPServer):
                 for f in futs:
                     f.cancel()
                 raise
-            return [f.result() for f in futs]
+            out = []
+            for f in futs:
+                try:
+                    out.append(f.result())
+                except DeadlineExceeded as e:  # shed at launch; counted
+                    out.append(e)              # in AsyncServer.n_expired
+            if out and all(isinstance(r, DeadlineExceeded) for r in out):
+                raise DeadlineExceeded(
+                    "every request's deadline passed before the decode "
+                    "launched")
+            return out
         with self._admission(), self._lock:
-            # batch lock path: expired rows ride along for free inside
-            # the padded launch, but if EVERY request expired there is
-            # no caller left to serve — skip the launch entirely
-            if reqs and all(r.expired() for r in reqs):
+            live = [(i, r) for i, r in enumerate(reqs) if not r.expired()]
+            for _ in range(len(reqs) - len(live)):
                 self.count_expired()
+            if reqs and not live:
                 raise DeadlineExceeded(
                     "every request's deadline passed while waiting "
                     "for the decode slot")
-            return self.session.respond_batch(reqs)
+            results = self.session.respond_batch([r for _, r in live])
+            out = [DeadlineExceeded("deadline passed while waiting for "
+                                    "the decode slot")] * len(reqs)
+            for (i, _), res in zip(live, results):
+                out[i] = res
+            return out
 
     def queue_depth(self) -> int:
         if self.async_server is not None:
@@ -531,23 +556,52 @@ class MTNServer(ThreadingHTTPServer):
 
 
 def start_watcher(srv: MTNServer, interval_s: float) -> threading.Event:
-    """Checkpoint watcher: poll the session's model arg (typically
-    ``<prefix>_best`` or ``<prefix>_latest``) and hot-reload whenever it
+    """Hot-reload watcher. Live sessions: poll the model arg (typically
+    ``<prefix>_best`` or ``<prefix>_latest``) and reload whenever it
     resolves to a different epoch than the one being served — so a
     server pointed at a live training run tracks it with zero downtime
     (training saves per epoch; ``reload`` reuses every compiled
-    program). Returns the stop event (also set by ``srv.close``)."""
+    program). AOT sessions (VERDICT r4 #2): poll the artifact's
+    ``meta.json`` ``export_id`` and swap the artifact in when a new
+    export lands (the exporter writes meta.json LAST, so a changed id
+    implies complete blobs beside it). Returns the stop event (also set
+    by ``srv.close``)."""
     import logging
+
+    log = logging.getLogger("mtn_tpu.serve_http.watch")
+    if not getattr(srv.session, "model_arg", None) \
+            and not getattr(srv.session, "is_aot", False):
+        raise ValueError("checkpoint watch needs a session built via "
+                         "ServingSession.from_checkpoint or an AOT "
+                         "artifact session")
+    stop = threading.Event()
+    srv._watch_stop = stop
+
+    if getattr(srv.session, "is_aot", False):
+        def loop():
+            while not stop.wait(interval_s):
+                try:
+                    meta_path = os.path.join(srv.session._dir, "meta.json")
+                    with open(meta_path) as f:
+                        seen = json.load(f).get("export_id")
+                    if seen is not None and seen != srv.session.export_id:
+                        # the artifact swap must not race in-flight
+                        # decodes; every AOT serving path holds _lock
+                        with srv._lock:
+                            ep = srv.session.reload()
+                        with srv._count_lock:
+                            srv.n_reloads += 1
+                        log.info("hot-swapped AOT artifact (export %s, "
+                                 "epoch %s)", seen[:12], ep)
+                except Exception:  # keep watching; export may be mid-write
+                    log.exception("artifact watch: reload failed")
+
+        threading.Thread(target=loop, daemon=True,
+                         name="mtn-watch").start()
+        return stop
 
     from mtn_tpu.cli.generate import _split_model_arg
     from mtn_tpu.utils.checkpoint import CheckpointManager
-
-    log = logging.getLogger("mtn_tpu.serve_http.watch")
-    if not getattr(srv.session, "model_arg", None):
-        raise ValueError("checkpoint watch needs a session built via "
-                         "ServingSession.from_checkpoint")
-    stop = threading.Event()
-    srv._watch_stop = stop
 
     def resolve_target():
         prefix, epoch = _split_model_arg(srv.session.model_arg)
@@ -716,11 +770,18 @@ class _Handler(BaseHTTPRequestHandler):
                     raise BadRequest("'model' must be a string")
                 if not hasattr(srv.session, "reload"):
                     raise NotSupported(
-                        "hot-reload needs a live checkpoint session "
-                        "(--model); restart with a new --aot artifact "
-                        "instead")
+                        "this session type does not support hot-reload")
                 try:
-                    epoch = srv.session.reload(model)
+                    if getattr(srv.session, "is_aot", False):
+                        # AotSession.reload is not internally
+                        # synchronized; every AOT serving path holds the
+                        # session lock, so holding it here makes the
+                        # artifact swap atomic wrt in-flight decodes
+                        # ('model' names a new artifact directory)
+                        with srv._lock:
+                            epoch = srv.session.reload(model)
+                    else:
+                        epoch = srv.session.reload(model)
                 except (ValueError, FileNotFoundError) as e:
                     raise BadRequest(str(e))
                 with srv._count_lock:
@@ -749,8 +810,8 @@ class _Handler(BaseHTTPRequestHandler):
                 if not hasattr(srv.session, "stream"):
                     raise NotSupported(
                         "streaming needs a live checkpoint session "
-                        "(--model); the AOT artifact exports only the "
-                        "batch beam program")
+                        "(--model) or an AOT artifact exported with "
+                        "streaming programs (aot export stream=True)")
                 req = parse_request(body)
                 self._stream_events(req, style)
             elif self.path == "/v1/rank":
@@ -784,8 +845,13 @@ class _Handler(BaseHTTPRequestHandler):
                 results = srv.respond_many(reqs)
                 srv.latency.observe(time.monotonic() - t0)
                 srv.count()
-                self._send(200, {"results": [_result_json(r, k)
-                                             for r in results]})
+                # per-row deadline sheds come back as error entries
+                # (docs/SERVING.md "Request deadlines"); the shed
+                # itself was already counted in mtn_expired_total
+                self._send(200, {"results": [
+                    {"error": str(r), "code": 504}
+                    if isinstance(r, DeadlineExceeded)
+                    else _result_json(r, k) for r in results]})
             else:
                 self._discard_body()
                 self._send(404, {"error": f"no such path: {self.path}"})
@@ -909,9 +975,8 @@ def main(argv=None) -> int:
     if args.aot:
         # the artifact freezes shapes + decode config at export time;
         # the decode/mesh/transfer knobs only apply to live sessions
-        if args.watch_seconds:
-            parser.error("--watch-seconds needs --model (an AOT "
-                         "artifact is immutable; redeploy to update)")
+        # (--watch-seconds works for both: the AOT watcher hot-swaps on
+        # a changed export_id)
         if args.decode_style != "beam_search":
             parser.error("--aot serves the exported beam program; "
                          "--decode-style does not apply")
@@ -960,8 +1025,9 @@ def main(argv=None) -> int:
                     max_queue=args.max_queue)
     if args.watch_seconds > 0:
         start_watcher(srv, args.watch_seconds)
-        logging.info("watching %s every %.1fs for new checkpoints",
-                     args.model, args.watch_seconds)
+        logging.info("watching %s every %.1fs for new %s",
+                     args.model or args.aot, args.watch_seconds,
+                     "artifact exports" if args.aot else "checkpoints")
     logging.info("serving %s on http://%s:%d (style=%s, turn_batch=%d)",
                  args.model or args.aot, *srv.server_address,
                  session.decode_cfg.decode_style,

@@ -43,8 +43,14 @@ One artifact can carry several frozen batch-row buckets (``--batches
 1,4,16`` — a short burst is served by the smallest fitting program),
 a greedy or sampling program instead of the beam (``--decode-style``;
 the sample program takes ``(seed, fold)`` and reproduces the live draw
-law), and the discriminative rank program (``--rank N,L`` → the
-artifact serves ``/v1/rank``).
+law), the discriminative rank program (``--rank N,L`` → the artifact
+serves ``/v1/rank``), and — by default — the streaming
+prefix/per-token-step programs (→ ``/v1/stream``; tokens identical to
+the live streaming path). ``--weights-quant int8|int8-fp-head`` bakes
+weight-only int8 kernels + per-channel scales as the constants (~4x
+smaller artifact/HBM, live-quantized-session numerics). A served
+artifact hot-swaps on re-export (:meth:`AotSession.reload`,
+``/admin/reload``, or ``--watch-seconds`` polling ``export_id``).
 """
 
 from __future__ import annotations
@@ -53,6 +59,7 @@ import argparse
 import json
 import logging
 import os
+import uuid as _uuid
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -61,6 +68,7 @@ log = logging.getLogger(__name__)
 
 _BLOB = "decode.jaxexport"          # legacy single-bucket artifact name
 _RANK_BLOB = "rank.jaxexport"
+_STREAM_PREFIX_BLOB = "stream_prefix.jaxexport"
 _META = "meta.json"
 _VOCAB = "vocab.json"
 _CONF = "conf.json"
@@ -68,6 +76,10 @@ _CONF = "conf.json"
 
 def _bucket_blob(B: int) -> str:
     return f"decode_b{B}.jaxexport"
+
+
+def _stream_step_blob(style: str) -> str:
+    return f"stream_step_{style}.jaxexport"
 
 
 # ---------------------------------------------------------------------------
@@ -80,7 +92,9 @@ def export_decode(model_arg: str, out_dir: str, *, batch: int = 8,
                   decode_cfg=None, platforms: Sequence[str] = ("cpu", "tpu"),
                   model_overrides: Optional[Dict] = None,
                   batches: Optional[Sequence[int]] = None,
-                  rank: Optional[Tuple[int, int]] = None) -> dict:
+                  rank: Optional[Tuple[int, int]] = None,
+                  weights_quant: str = "",
+                  stream: bool = True) -> dict:
     """Export the decode program(s) for ``model_arg`` (a checkpoint
     prefix, same grammar as serving/generate) into ``out_dir``.
 
@@ -102,6 +116,14 @@ def export_decode(model_arg: str, out_dir: str, *, batch: int = 8,
     program (VisDial-style candidate scoring, BeamDecoder._build_rank)
     frozen at N candidates of padded length L per turn, batch 1 — the
     serving shape (ServingSession.rank scores one turn per call).
+
+    ``weights_quant`` ("int8" / "int8-fp-head"): bake weight-only
+    int8 kernels + per-channel f32 scales as the program's constants
+    instead of f32 weights (mtn_tpu/utils/quantize.py) — ~4x smaller
+    artifact and ~4x less HBM per serving replica for the quantized
+    kernels, with the live quantized session's exact numerics
+    (VERDICT r4 #1; measured perf-neutral, BENCH.md "Weight-only int8
+    decode").
     """
     import jax
     import jax.numpy as jnp
@@ -115,7 +137,8 @@ def export_decode(model_arg: str, out_dir: str, *, batch: int = 8,
     if style not in ("beam_search", "greedy", "sample"):
         raise ValueError(f"decode_style {style!r} cannot be exported")
     session = ServingSession.from_checkpoint(
-        model_arg, dcfg, model_overrides=model_overrides)
+        model_arg, dcfg, model_overrides=model_overrides,
+        weights_quant=weights_quant)
     mcfg, datacfg = session.model_cfg, session.data_cfg
     n_streams = len(mcfg.ft_sizes)
     frames = list(frames) if frames else [64] * n_streams
@@ -213,6 +236,79 @@ def export_decode(model_arg: str, out_dir: str, *, batch: int = 8,
         blob_bytes[_RANK_BLOB] = len(blob)
         rank_meta = {"n": N, "len": L, "batch": 1}
 
+    # -- streaming programs (VERDICT r4 #2): the live path's
+    # prefix/per-token-step split (BeamDecoder._build_stream),
+    # exported at B=1 with the (state, kv) pytrees flattened to plain
+    # leaf tuples so the deserialized call needs nothing registered.
+    # The host drives the loop (AotSession.stream): state leaves are
+    # step inputs each call, kv leaves are the carried cache.
+    stream_meta = None
+    if stream:
+        maxlen = dcfg.maxlen
+        temp = dcfg.temperature
+        transform = decoder._sample_transform()
+
+        def prefix_raw(query, his, cap, *ftl):
+            b = to_batch(query, his, cap, ftl)
+            st = decoder._decode_state(params, b)
+            kv = decoder.model.init_self_kv(b.query.shape[0], maxlen)
+            return st, kv
+
+        base_shapes = arg_shapes(1)[:3 + 2 * n_streams]
+        st_aval, kv_aval = jax.eval_shape(prefix_raw, *base_shapes)
+        st_leaves, st_td = jax.tree.flatten(st_aval)
+        kv_leaves, kv_td = jax.tree.flatten(kv_aval)
+
+        def flat_prefix(*args):
+            st, kv = prefix_raw(*args)
+            return tuple(jax.tree.leaves(st)) + tuple(jax.tree.leaves(kv))
+
+        exp = jax.export.export(jax.jit(flat_prefix),
+                                platforms=list(platforms))(*base_shapes)
+        blob = exp.serialize()
+        with open(os.path.join(out_dir, _STREAM_PREFIX_BLOB), "wb") as f:
+            f.write(blob)
+        blob_bytes[_STREAM_PREFIX_BLOB] = len(blob)
+
+        def make_step(sty):
+            def flat_step(cur, l, seed, fold, *leaves):
+                st = jax.tree.unflatten(st_td, leaves[:len(st_leaves)])
+                kv = jax.tree.unflatten(kv_td, leaves[len(st_leaves):])
+                logp, kv2 = decoder._step(params, st, cur, l, kv)
+                if sty == "greedy" or temp <= 0.0:
+                    # _build_stream's law: sample with temp<=0 is argmax
+                    nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+                else:
+                    # the live draw law: PRNGKey(seed), caller-fold when
+                    # nonzero, then per-position fold (stream_tokens +
+                    # _build_stream)
+                    key = jax.random.PRNGKey(seed)
+                    key = jax.lax.cond(
+                        fold != 0,
+                        lambda k: jax.random.fold_in(k, fold),
+                        lambda k: k, key)
+                    nxt = jax.random.categorical(
+                        jax.random.fold_in(key, l),
+                        transform(logp)).astype(jnp.int32)
+                return (nxt,) + tuple(jax.tree.leaves(kv2))
+            return flat_step
+
+        s0 = jax.ShapeDtypeStruct((), jnp.int32)
+        step_shapes = [s((1,), jnp.int32), s0, s0, s0] \
+            + list(st_leaves) + list(kv_leaves)
+        styles = ["greedy", "sample"]
+        for sty in styles:
+            exp = jax.export.export(jax.jit(make_step(sty)),
+                                    platforms=list(platforms))(*step_shapes)
+            blob = exp.serialize()
+            name = _stream_step_blob(sty)
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(blob)
+            blob_bytes[name] = len(blob)
+        stream_meta = {"maxlen": maxlen, "styles": styles, "batch": 1,
+                       "n_state_leaves": len(st_leaves),
+                       "n_kv_leaves": len(kv_leaves)}
+
     meta = {
         "model_arg": model_arg,
         "epoch": session.epoch,
@@ -227,7 +323,14 @@ def export_decode(model_arg: str, out_dir: str, *, batch: int = 8,
         "ft_sizes": list(mcfg.ft_sizes),
         "platforms": list(platforms),
         "decode": _to_jsonable(dcfg),
+        "weights_quant": weights_quant,
         "rank": rank_meta,
+        "stream": stream_meta,
+        # Unique per export; the serving watcher (serve_http
+        # --watch-seconds with --aot) hot-swaps the artifact when this
+        # changes. meta.json is written LAST, after every blob, so a
+        # new export_id implies the blobs beside it are complete.
+        "export_id": _uuid.uuid4().hex,
         "jax_version": jax.__version__,
         "blob_bytes": sum(blob_bytes.values()),
         "blobs": blob_bytes,
@@ -263,8 +366,10 @@ class AotSession:
     as bucketed serving). Drop-in for the HTTP front-end's
     lock-serialized path (``python -m mtn_tpu.serve_http --aot <dir>``);
     artifacts exported with ``rank=(N, L)`` also serve ``/v1/rank`` via
-    :meth:`rank` — the remaining live-only surfaces (stream/hot-reload,
-    and rank on artifacts without the rank program) answer 501."""
+    :meth:`rank`, artifacts with streaming programs (the default) serve
+    ``/v1/stream`` via :meth:`stream`, and :meth:`reload` hot-swaps a
+    re-exported artifact — a surface whose program is absent from the
+    artifact answers 501."""
 
     #: serving front-ends (serve_http) key off this to route the
     #: live-only surfaces (stream/reload) to 501 Not Implemented
@@ -293,6 +398,7 @@ class AotSession:
         self.style = self.meta.get("style", "beam_search")
         self.model_arg = self.meta.get("model_arg")
         self.epoch = self.meta.get("epoch")
+        self.weights_quant = self.meta.get("weights_quant", "")
         self.vlist = vocab_list(self.vocab)
         self._dir = art_dir
         self._deserialize = jax.export.deserialize
@@ -307,6 +413,11 @@ class AotSession:
                 self._rank_exp = self._deserialize(f.read())
             # serve_http routes /v1/rank via hasattr(session, "rank")
             self.rank = self._rank
+        self._stream_prefix_exp = None
+        self._stream_step_exps: Dict[str, object] = {}
+        if self.meta.get("stream"):
+            # serve_http routes /v1/stream via hasattr(session, "stream")
+            self.stream = self._stream
         self._pad = self.vocab["<blank>"]
         self._eos = self.vocab["<eos>"]
         self._sample_calls = 0
@@ -437,6 +548,81 @@ class AotSession:
         return [(c, s, rank_of(scores, i))
                 for i, (c, s) in enumerate(zip(candidates, scores))]
 
+    # -- token streaming (exported with stream=True) -----------------------
+    def _stream(self, request, style: Optional[str] = None):
+        """Generator of answer words for ONE request, emitted per
+        decoded token — the AOT counterpart of ``ServingSession.stream``
+        (same style-default law, same sample rng fold law). The host
+        drives the exported prefix/step program pair; the per-step
+        device fetch is the interactive-latency trade."""
+        smeta = self.meta["stream"]
+        if style is None:
+            style = self.style
+            if style == "beam_search":
+                style = "greedy"
+        if style not in smeta["styles"]:
+            raise ValueError(f"style {style!r} not exported "
+                             f"(artifact has {smeta['styles']})")
+        if self._stream_prefix_exp is None:
+            with open(os.path.join(self._dir, _STREAM_PREFIX_BLOB),
+                      "rb") as f:
+                self._stream_prefix_exp = self._deserialize(f.read())
+        if style not in self._stream_step_exps:
+            with open(os.path.join(self._dir, _stream_step_blob(style)),
+                      "rb") as f:
+                self._stream_step_exps[style] = self._deserialize(f.read())
+        from mtn_tpu.serve import encode_requests
+        rows = int(smeta["batch"])
+        hb = encode_requests([request], self.model_cfg, self.data_cfg,
+                             self.vocab, pad_rows_to=rows)
+        flat = self._flat_args(hb, rows)
+        leaves = list(self._stream_prefix_exp.call(*flat))
+        ns = int(smeta["n_state_leaves"])
+        state_leaves, kv_leaves = leaves[:ns], leaves[ns:]
+        seed = np.int32(self.decode_cfg.sample_seed)
+        fold = np.int32(0)
+        if style == "sample":
+            fold = np.int32(self._sample_calls)
+            self._sample_calls += 1
+        step = self._stream_step_exps[style]
+        cur = np.full((rows,), self.vocab["<sos>"], np.int32)
+        for l in range(int(smeta["maxlen"])):
+            out = step.call(cur, np.int32(l), seed, fold,
+                            *state_leaves, *kv_leaves)
+            cur = np.asarray(out[0])
+            kv_leaves = list(out[1:])
+            t = int(cur[0])   # the one valid row
+            if t == self._eos:
+                return
+            yield self.vlist[t]
+
+    def reload(self, art_dir: Optional[str] = None):
+        """Hot-swap this session to a (re-)exported artifact — the AOT
+        counterpart of ``ServingSession.reload``. Loads the artifact at
+        ``art_dir`` (default: this session's directory, i.e. pick up an
+        in-place re-export) and adopts its state. NOT internally
+        synchronized: callers that serve concurrently must hold the
+        serving lock across the call (serve_http's AOT paths all
+        serialize behind one lock, so its reload route/watcher do).
+        Returns the new artifact's source-checkpoint epoch."""
+        fresh = AotSession(art_dir or self._dir)
+        # adopt wholesale — including the conditional stream/rank attrs
+        # (an artifact without them must lose the route, so clear first)
+        self.__dict__.clear()
+        self.__dict__.update(fresh.__dict__)
+        # the conditional attrs were bound to `fresh`; re-bind to self
+        # so their state reads/writes (e.g. _sample_calls) stay coherent
+        if "rank" in self.__dict__:
+            self.rank = self._rank
+        if "stream" in self.__dict__:
+            self.stream = self._stream
+        return self.epoch
+
+    @property
+    def export_id(self) -> Optional[str]:
+        """Unique id written at export (None for pre-r5 artifacts)."""
+        return self.meta.get("export_id")
+
     def respond(self, question: str, history=(), caption: str = "",
                 features: Optional[Dict[str, np.ndarray]] = None) -> str:
         from mtn_tpu.serve import Request
@@ -445,17 +631,20 @@ class AotSession:
         return self.respond_batch([req])[0][0]
 
     def warmup(self, stream: bool = False) -> float:
-        """Deserialize-compile-and-run the exported program on one blank
-        request; returns elapsed seconds. Mirrors
-        ``ServingSession.warmup`` so ``--warmup`` works in AOT serving
-        (``stream`` is accepted-inert — the artifact carries only the
-        beam program)."""
+        """Deserialize-compile-and-run the exported programs on one
+        blank request; returns elapsed seconds. Mirrors
+        ``ServingSession.warmup``: ``stream=True`` additionally drives
+        the exported streaming prefix/step pair (ignored when the
+        artifact carries no stream programs)."""
         import time
 
         from mtn_tpu.serve import Request
 
         t0 = time.monotonic()
         self.respond_batch([Request(question="hello ?")])
+        if stream and self.meta.get("stream"):
+            for _ in self._stream(Request(question="hello ?")):
+                pass
         return time.monotonic() - t0
 
 
@@ -500,6 +689,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     help="N,L — additionally export the discriminative "
                          "rank program frozen at N candidates of padded "
                          "length L (serves /v1/rank in --aot serving)")
+    pe.add_argument("--stream", default=1, type=int,
+                    help="export the streaming prefix/per-token-step "
+                         "programs (greedy+sample, B=1) so --aot serving "
+                         "answers /v1/stream (default on; 0 disables)")
+    pe.add_argument("--weights-quant", default="",
+                    choices=["", "int8", "int8-fp-head"],
+                    help="bake weight-only int8 kernels (+ per-channel "
+                         "scales) as the exported constants: ~4x smaller "
+                         "artifact / HBM per replica, live-quantized-"
+                         "session numerics (int8-fp-head keeps the vocab "
+                         "head f32 — the fidelity point)")
 
     pi = sub.add_parser("info", help="print artifact metadata")
     pi.add_argument("artifact")
@@ -535,12 +735,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             query_len=args.query_len, his_len=args.his_len,
             cap_len=args.cap_len, frames=frames, decode_cfg=dcfg,
             platforms=[s for s in args.platforms.split(",") if s],
-            batches=batches, rank=rank)
+            batches=batches, rank=rank, weights_quant=args.weights_quant,
+            stream=bool(args.stream))
         print(json.dumps({"out": args.out,
                           "blob_bytes": meta["blob_bytes"],
                           "batches": meta["batches"],
                           "style": meta["style"],
-                          "rank": meta["rank"]}))
+                          "rank": meta["rank"],
+                          "weights_quant": meta["weights_quant"]}))
         return 0
     if args.cmd == "info":
         with open(os.path.join(args.artifact, _META)) as f:

@@ -594,6 +594,49 @@ def test_deadline_ms_over_http(http_server):
     assert "mtn_expired_total" in _get_text(base + "/metrics")
 
 
+def test_respond_batch_mixed_deadlines_per_row(http_server):
+    """ADVICE r4: a mixed batch must shed ONLY the expired rows — the
+    live row gets its answer (200), the expired row comes back as a
+    per-row {"error", "code": 504} entry, and an all-expired batch is a
+    whole-call 504 (matching /v1/respond)."""
+    srv, base, feats = http_server
+    _, stats0 = _get(base + "/stats")
+    code, out = _post(base + "/v1/respond_batch", {"requests": [
+        {"question": "is there any sound ?", "deadline_ms": 600000},
+        {"question": "what is he doing ?", "deadline_ms": 0.01},
+    ]})
+    assert code == 200
+    rows = out["results"]
+    assert isinstance(rows[0]["answer"], str) and "error" not in rows[0]
+    assert rows[1]["code"] == 504 and "answer" not in rows[1]
+    try:
+        _post(base + "/v1/respond_batch", {"requests": [
+            {"question": "x ?", "deadline_ms": 0.01},
+            {"question": "y ?", "deadline_ms": 0.01}]})
+        assert False, "expected 504"
+    except urllib.error.HTTPError as e:
+        assert e.code == 504
+    _, stats1 = _get(base + "/stats")
+    assert stats1["expired"] >= stats0["expired"] + 3
+    assert stats1["errors"] == stats0["errors"]
+
+    # lock path (no AsyncServer): same per-row law via respond_many
+    import time as _time
+    from mtn_tpu.serve import DeadlineExceeded, Request
+    saved = srv.async_server
+    srv.async_server = None
+    try:
+        live = Request(question="is there any sound ?")
+        dead = Request(question="x ?", deadline=_time.monotonic() - 1)
+        got = srv.respond_many([dead, live])
+        assert isinstance(got[0], DeadlineExceeded)
+        assert isinstance(got[1][0], str)
+        with pytest.raises(DeadlineExceeded):
+            srv.respond_many([dead, dead])
+    finally:
+        srv.async_server = saved
+
+
 def test_rank_endpoint(http_server):
     """POST /v1/rank: the VisDial-style discriminative mode over HTTP."""
     srv, base, feats = http_server
