@@ -14,8 +14,18 @@ next #2) extends the SAME executed-pipeline comparison (the actual
    executes end-to-end — ``auto_encoder_ft=caption`` (the sublayer
    order swap, reference mtn.py:192-202), ``merge_source=1``
    (caption+history folded into the query, data_handler.py:126-127),
-   and ``diff_embed``/``diff_gen`` (per-stream AE embeddings/
-   generators, mtn.py:347-357).
+   ``diff_embed``/``diff_gen`` (per-stream AE embeddings/
+   generators, mtn.py:347-357), and — VERDICT r4 #4c —
+   ``max_history_length>0`` (history truncation,
+   data_handler.py:117-120) and ``include_caption=summary`` (the
+   summary text as the caption stream, data_handler.py:106-112).
+
+Round 5 additions (VERDICT r4 #4): the config matrix runs over TWO
+independent (corpus, torch-init, shuffle) seed triples instead of one
+(#4b — a subtle systematic delta like a rare tie-break law gets two
+chances per config to surface), and ``protocol`` scales the decoded
+set to 500+ turns at the mid dims (#4a — protocol-size statistical
+visibility with an executed-reference counterpart).
 
 Each case asserts the full margin-aware law AND stage-4 metric-block
 equality via tests/refpipe.py. Everything is CPU torch at small dims —
@@ -72,15 +82,49 @@ CASES = {
         flags=["--include-caption", "caption", "--separate-caption", "1",
                "--cut-a", "1", "--diff-encoder", "1", "--diff-embed", "1",
                "--diff-gen", "1", "--auto-encoder-ft", "query"]),
+    # VERDICT r4 #4c: history truncation executed end-to-end through
+    # the reference decoder (fuzzed at the data layer before, never
+    # driven through generate.py) — keep only the last 2 QA turns
+    # (data_handler.py:117-120)
+    "max_history": dict(
+        dims=TINY_DIMS, n_dialogs=8, n_test_dialogs=3, words=None,
+        epochs=4, batch_size=4, warmup=20, turn_batch=4,
+        flags=["--include-caption", "caption", "--separate-caption", "1",
+               "--cut-a", "1", "--diff-encoder", "1",
+               "--max-history-length", "2", "--auto-encoder-ft", "query"]),
+    # VERDICT r4 #4c: the summary text as the caption stream
+    # (data_handler.py:106-112)
+    "caption_summary": dict(
+        dims=TINY_DIMS, n_dialogs=8, n_test_dialogs=3, words=None,
+        epochs=4, batch_size=4, warmup=20, turn_batch=4,
+        flags=["--include-caption", "summary", "--separate-caption", "1",
+               "--cut-a", "1", "--diff-encoder", "1",
+               "--auto-encoder-ft", "query"]),
+    # VERDICT r4 #4a: protocol-size decode — 170 test dialogs x 3 turns
+    # = 510 decoded turns at the mid dims
+    "protocol": dict(
+        dims=MID_DIMS, n_dialogs=100, n_test_dialogs=170,
+        words=SCALED_WORDS,
+        epochs=2, batch_size=16, warmup=50, turn_batch=16,
+        flags=["--include-caption", "caption", "--separate-caption", "1",
+               "--cut-a", "1", "--diff-encoder", "1",
+               "--auto-encoder-ft", "query"]),
 }
 
+# Two independent (corpus, reference-shuffle, torch-init) seed triples
+# (VERDICT r4 #4b). The second triple retrains AND re-generates the
+# corpus, so every data-law + init + shuffle draw differs.
+SEEDS = {1: dict(corpus_seed=11, rand_seed=1, torch_seed=7),
+         2: dict(corpus_seed=23, rand_seed=5, torch_seed=13)}
 
-def _run_case(name: str, tmp_path_factory):
+
+def _run_case(name: str, tmp_path_factory, corpus_seed: int = 11,
+              rand_seed: int = 1, torch_seed: int = 7):
     cfg = CASES[name]
     refpipe.require_reference_env()
-    root = tmp_path_factory.mktemp(f"refpipe_{name}")
+    root = tmp_path_factory.mktemp(f"refpipe_{name}_s{corpus_seed}")
     kw = dict(n_dialogs=cfg["n_dialogs"], n_turns=3,
-              n_test_dialogs=cfg["n_test_dialogs"], seed=11)
+              n_test_dialogs=cfg["n_test_dialogs"], seed=corpus_seed)
     if cfg["words"] is not None:
         kw["words"] = cfg["words"]
     corpus = write_tiny_corpus(root / "corpus", **kw)
@@ -90,11 +134,11 @@ def _run_case(name: str, tmp_path_factory):
         corpus, model_prefix, ref_out,
         train_args=[*cfg["flags"], *cfg["dims"], "--dropout", "0.1",
                     "--num-epochs", str(cfg["epochs"]),
-                    "--rand-seed", "1",
+                    "--rand-seed", str(rand_seed),
                     "--batch-size", str(cfg["batch_size"]),
                     "--max-length", "64", "--report-interval", "20",
                     "--warmup-steps", str(cfg["warmup"])],
-        maxlen=12, torch_seed=7)
+        maxlen=12, torch_seed=torch_seed)
     our_out = str(root / "our_result.json")
     refpipe.migrate_and_decode_ours(corpus, model_prefix,
                                     str(root / "ours" / "mtn"), our_out,
@@ -111,7 +155,16 @@ def test_scaled_pipeline_parity(tmp_path_factory):
     assert len(rows) >= 100  # the scale claim: 100+ decoded turns
 
 
+def test_protocol_size_pipeline_parity(tmp_path_factory):
+    """VERDICT r4 #4a: executed-reference parity at protocol size —
+    500+ decoded turns through the actual reference decoder."""
+    rows = _run_case("protocol", tmp_path_factory)
+    assert len(rows) >= 500
+
+
+@pytest.mark.parametrize("seed", [1, 2])
 @pytest.mark.parametrize("case", ["ae_caption", "merge_source",
-                                  "diff_embed_gen"])
-def test_config_matrix_pipeline_parity(case, tmp_path_factory):
-    _run_case(case, tmp_path_factory)
+                                  "diff_embed_gen", "max_history",
+                                  "caption_summary"])
+def test_config_matrix_pipeline_parity(case, seed, tmp_path_factory):
+    _run_case(case, tmp_path_factory, **SEEDS[seed])
