@@ -53,6 +53,8 @@ def _is_full_suite_run(config) -> bool:
     if getattr(opt, "deselect", None) or getattr(opt, "lf", False) \
             or getattr(opt, "last_failed", False):
         return False
+    if getattr(opt, "collectonly", False):
+        return False  # nothing executed — not suite evidence
     tests_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(tests_dir)
     for a in config.args:
