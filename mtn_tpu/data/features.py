@@ -190,15 +190,19 @@ def load_features(registry: FeatureRegistry, vids: Sequence[str],
                 arr = ln = None
         if arr is None:
             # frame skip applies to the time axis; 3-D (T, R, D) arrays
-            # then flatten regions into frames (FeatureRegistry note)
-            cache: dict = {}
+            # then flatten regions into frames (FeatureRegistry note).
+            # NB: this per-batch read-dedup dict must NOT be named
+            # `cache` — that shadows the FeatureCache parameter and
+            # breaks the next stream's cache lookup (caught by the
+            # round-5 full-suite run).
+            read_cache: dict = {}
 
             def _read(p):
-                a = cache.get(p)
+                a = read_cache.get(p)
                 if a is None:
                     a = _load_npy(p)[::s]
                     a = a.reshape(-1, a.shape[-1]) if a.ndim == 3 else a
-                    cache[p] = a
+                    read_cache[p] = a
                 return a
             D = _read(paths[0]).shape[-1]
             arr = np.zeros((B, int(max_frames[i]), D), dtype=np.float32)

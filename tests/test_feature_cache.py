@@ -187,7 +187,7 @@ def test_train_cli_with_feature_cache_identical_checkpoint(
         tr = Trainer(mcfg, TrainConfig())
         sample = dbatch(encode_requests([Request("")], mcfg, dcfg, vocab))
         state = tr.init_state(jax.random.PRNGKey(0), sample)
-        params, _ = ckpt.restore_params(state, None)
+        params, _ = ckpt.restore_params(state, "latest")
         return jax.tree.leaves(params)
 
     for a, b in zip(leaves(p_plain), leaves(p_cached)):
